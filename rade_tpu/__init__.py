@@ -1,0 +1,12 @@
+"""rade_tpu — TPU-native audio anti-spoofing framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+`lux-liang/Robust-Audio-Deepfake-Evolution`: raw-waveform frontends (SincConv,
+WavLM), bidirectional-Mamba backends with a Pallas selective-scan kernel, the
+AASIST / RawNet2 / RawGAT-ST baseline zoo, RawBoost + codec augmentation, the
+Phase-6 training recipe (LoRA, FGM, mixup, focal, EMA/SWA) fused into one
+jit-compiled train step over a data-parallel TPU mesh, and ASVspoof 2019/2021
+EER + t-DCF scoring.
+"""
+
+__version__ = "0.1.0"
