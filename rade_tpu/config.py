@@ -1,0 +1,222 @@
+"""Reference-compatible `.conf` (JSON) configuration with a typed schema.
+
+The public API stays the reference's raw-JSON config contract
+(`/root/reference/src/main.py:166-179` and SURVEY.md §2.8) — same keys, same
+string-bool convention, same defaults injected post-load — with a typed
+dataclass layer on top so the rest of the framework never touches raw dicts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+
+def str_to_bool(val: Union[str, bool, int]) -> bool:
+    """Reference string-bool convention (`src/utils.py:143-150`)."""
+    if isinstance(val, bool):
+        return val
+    if isinstance(val, (int, float)):
+        return bool(val)
+    v = str(val).lower()
+    if v in ("yes", "true", "t", "y", "1"):
+        return True
+    if v in ("no", "false", "f", "n", "0"):
+        return False
+    raise ValueError(f"invalid truth value {val!r}")
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    optimizer: str = "adam"
+    amsgrad: bool = False
+    base_lr: float = 1e-4
+    wavlm_lr: Optional[float] = None
+    lr_min: float = 5e-6
+    betas: Sequence[float] = (0.9, 0.999)
+    weight_decay: float = 1e-4
+    scheduler: str = "cosine"
+    scheduler_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    epochs: int = 100
+    steps_per_epoch: int = 0  # filled in by the trainer
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "OptimConfig":
+        d = _drop_comments(d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "amsgrad" in kwargs:
+            kwargs["amsgrad"] = str_to_bool(kwargs["amsgrad"])
+        return cls(**kwargs)
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    """Phase 4/5/6 training features (`src/config/Phase6_Proposed.conf`)."""
+
+    use_ocsoftmax: bool = False
+    ocsoftmax_r_real: float = 0.9
+    ocsoftmax_r_fake: float = 0.5
+    ocsoftmax_alpha: float = 20.0
+    use_supcon: bool = False
+    lambda_supcon: float = 0.1
+    use_lora: bool = False
+    lora_r: int = 8
+    lora_alpha: int = 32
+    lora_dropout: float = 0.1
+    lora_target_modules: Sequence[str] = ("q_proj", "v_proj")
+    use_focal_loss: bool = False
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    label_smoothing: float = 0.0
+    freeze_bn: bool = False
+    freeze_sincnet: bool = False
+    use_ema: bool = False
+    ema_decay: float = 0.999
+    use_swa: bool = True
+    accumulation_steps: int = 1
+    warmup_ratio: float = 0.0
+    warmup_init_factor: float = 0.1
+    use_fgm: bool = False
+    fgm_epsilon: float = 0.5
+    fgm_emb_name: str = "feature_projection"
+    use_mixup: bool = False
+    mixup_alpha: float = 1.0
+    eval_diag_interval: int = 0
+    grad_clip_norm: float = 3.0
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
+        d = _drop_comments(d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        for key in (
+            "use_ocsoftmax", "use_supcon", "use_lora", "use_focal_loss",
+            "freeze_bn", "freeze_sincnet", "use_ema", "use_swa", "use_fgm",
+            "use_mixup",
+        ):
+            if key in kwargs:
+                kwargs[key] = str_to_bool(kwargs[key])
+        return cls(**kwargs)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    rawboost_algo: int = 0
+    use_rawboost: bool = False
+    rawboost_p: float = 1.0
+    use_codec_aug: bool = False
+    codec_p: float = 0.5
+    custom_train_protocol: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DataConfig":
+        d = _drop_comments(d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        for key in ("use_rawboost", "use_codec_aug"):
+            if key in kwargs:
+                kwargs[key] = str_to_bool(kwargs[key])
+        return cls(**kwargs)
+
+
+@dataclasses.dataclass
+class TestConfig:
+    batch_size: int = 64
+    num_workers: int = 0
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TestConfig":
+        d = _drop_comments(d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Top-level experiment config (one `.conf` file)."""
+
+    database_path: str = "./LA/"
+    asv_score_path: str = ""
+    model_path: str = ""
+    pretrained_weights: Optional[str] = None
+    batch_size: int = 24
+    num_epochs: int = 100
+    loss: str = "CCE"
+    track: str = "LA"
+    eval_all_best: bool = True
+    eval_output: str = "eval_scores_using_best_dev_model.txt"
+    freq_aug: bool = False
+    is_eval_2021: bool = False
+    auto_eval_2021_df: bool = False
+    database_path_2021: Optional[str] = None
+    key_file_2021: Optional[str] = None
+    model_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    test: TestConfig = dataclasses.field(default_factory=TestConfig)
+    raw: Dict[str, Any] = dataclasses.field(default_factory=dict, repr=False)
+
+    @property
+    def architecture(self) -> str:
+        return self.model_config.get("architecture", "")
+
+    @classmethod
+    def from_dict(cls, config: Dict[str, Any]) -> "ExperimentConfig":
+        config = _drop_comments(config)
+        track = config.get("track", "LA")
+        if track not in ("LA", "PA", "DF"):
+            raise ValueError(f"invalid track {track!r}")
+
+        optim = OptimConfig.from_dict(config.get("optim_config", {}))
+        optim.epochs = int(config.get("num_epochs", optim.epochs))
+        training = TrainingConfig.from_dict(config.get("training_config", {}))
+        # the reference injects Focal when `loss` says so, and vice versa
+        if config.get("loss") == "Focal":
+            training.use_focal_loss = True
+        if config.get("loss") == "OCSoftmax":
+            training.use_ocsoftmax = True
+        data = DataConfig.from_dict(config.get("data_config", {}))
+        if "rawboost_algo" in config.get("data_config", {}):
+            data.use_rawboost = data.use_rawboost or data.rawboost_algo != 0
+        test = TestConfig.from_dict(config.get("test_config", {}))
+
+        known = {f.name for f in dataclasses.fields(cls)}
+        top = {
+            k: v
+            for k, v in config.items()
+            if k in known and k not in ("optim", "training", "data", "test", "raw")
+        }
+        for key in ("eval_all_best", "freq_aug", "is_eval_2021", "auto_eval_2021_df"):
+            if key in top:
+                top[key] = str_to_bool(top[key])
+        # reference default: eval_all_best=True, freq_aug=False when absent
+        top.setdefault("eval_all_best", True)
+        top.setdefault("freq_aug", False)
+        return cls(
+            optim=optim, training=training, data=data, test=test, raw=config, **top
+        )
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "ExperimentConfig":
+        with open(path) as f:
+            return cls.from_dict(json.loads(f.read()))
+
+    def model_tag(self, config_path: Union[str, Path], comment: str = "") -> str:
+        """Reference experiment-dir naming (`src/main.py:210-216`)."""
+        stem = Path(config_path).stem
+        tag = f"{self.track}_{stem}_ep{self.num_epochs}_bs{self.batch_size}"
+        if comment:
+            tag += f"_{comment}"
+        return tag
+
+
+def _drop_comments(d: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in d.items() if not k.startswith("_comment")}
+
+
+def load_config(path: Union[str, Path]) -> ExperimentConfig:
+    return ExperimentConfig.load(path)

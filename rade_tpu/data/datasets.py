@@ -1,0 +1,142 @@
+"""Dataset objects for ASVspoof 2019 / 2021 / In-the-Wild (torch-free).
+
+Host-side counterparts of the reference's torch Datasets
+(`/root/reference/src/data_utils.py:130-271`), returning numpy arrays.  The
+augmentation chain (RawBoost -> codec-sim -> random pad) runs here exactly as
+in the reference's `Dataset_ASVspoof2019_train.__getitem__`; batching and
+device transfer live in `pipeline.py`.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from rade_tpu.augment.codec import apply_codec_sim
+from rade_tpu.augment.rawboost import RawBoost
+from .audio_io import read_utterance, resample_poly
+from .padding import MAX_LEN, pad, pad_random
+
+PathLike = Union[str, Path]
+
+
+class TrainDataset:
+    """ASVspoof2019 train set with per-item RawBoost + codec augmentation."""
+
+    def __init__(
+        self,
+        keys: Sequence[str],
+        labels: Dict[str, int],
+        base_dir: PathLike,
+        algo: int = 0,
+        use_codec: bool = False,
+        codec_p: float = 0.5,
+        rawboost_p: float = 1.0,
+        cut: int = MAX_LEN,
+        seed: int = 0,
+    ):
+        self.keys = list(keys)
+        self.labels = labels
+        self.base_dir = Path(base_dir)
+        self.cut = cut
+        self.algo = algo
+        self.use_codec = use_codec
+        self.codec_p = float(codec_p)
+        self.rawboost_p = float(rawboost_p)
+        self.rng = np.random.RandomState(seed)
+        self.rawboost = RawBoost.from_algo(algo, rng=self.rng) if algo != 0 else None
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        key = self.keys[index]
+        x, _ = read_utterance(self.base_dir, key)
+        if self.rawboost is not None and self.rng.rand() < self.rawboost_p:
+            try:
+                x = self.rawboost.process(x)
+            except Exception:
+                pass  # reference falls back to clean audio on RawBoost failure
+        if self.use_codec and self.rng.rand() < self.codec_p:
+            x = apply_codec_sim(x, rng=self.rng)
+        x = pad_random(x, self.cut, rng=self.rng)
+        return x.astype(np.float32), self.labels[key]
+
+
+class EvalDataset:
+    """Dev/eval set: deterministic padding, returns (waveform, utt_key)."""
+
+    def __init__(
+        self,
+        keys: Sequence[str],
+        base_dir: PathLike,
+        cut: int = MAX_LEN,
+        zero_pad_on_error: bool = False,
+    ):
+        self.keys = list(keys)
+        self.base_dir = Path(base_dir)
+        self.cut = cut
+        self.zero_pad_on_error = zero_pad_on_error
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, str]:
+        key = self.keys[index]
+        try:
+            x, _ = read_utterance(self.base_dir, key)
+        except Exception:
+            if not self.zero_pad_on_error:
+                raise
+            # 2021-eval behavior: unreadable audio -> zeros (data_utils.py:221-228)
+            x = np.zeros(self.cut, dtype=np.float64)
+        return pad(x, self.cut).astype(np.float32), key
+
+
+class InTheWildDataset:
+    """In-the-Wild set from a meta.csv with ``file,label`` columns.
+
+    NOTE the inverted label convention of the reference
+    (`src/data_utils.py:259`): ``bona-fide`` -> 0, spoof -> 1.
+    """
+
+    def __init__(
+        self,
+        meta_csv: PathLike,
+        base_dir: PathLike,
+        sample_rate: int = 16000,
+        cut: int = MAX_LEN,
+    ):
+        self.base_dir = Path(base_dir)
+        self.sample_rate = sample_rate
+        self.cut = cut
+        self.files: List[str] = []
+        self.labels: List[str] = []
+        with open(meta_csv, newline="") as f:
+            reader = csv.DictReader(f)
+            if reader.fieldnames is None or not {"file", "label"}.issubset(
+                reader.fieldnames
+            ):
+                raise ValueError("meta.csv must contain 'file' and 'label' columns")
+            for row in reader:
+                self.files.append(row["file"])
+                self.labels.append(row["label"])
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int, str]:
+        fname = self.files[index]
+        label = 0 if self.labels[index].lower() == "bona-fide" else 1
+        try:
+            from .audio_io import read_audio
+
+            x, sr = read_audio(self.base_dir / fname)
+            if sr != self.sample_rate:
+                x = resample_poly(x, sr, self.sample_rate)
+        except Exception:
+            x = np.zeros(self.cut, dtype=np.float64)
+        return pad(x, self.cut).astype(np.float32), label, fname
