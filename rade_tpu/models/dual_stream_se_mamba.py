@@ -1,0 +1,175 @@
+"""DualStreamSEMamba — the Phase 4/5/6 flagship.
+
+TPU-native Flax port of `/root/reference/src/models/DualStreamSEMamba.py:643-769`
+(config `src/config/Phase6_Proposed.conf`):
+
+  WavLM-Large stream (25-state learnable weighting)  ─┐
+                                                       ├─ LayerNorm/proj/
+  SincNet stream (AASIST frontend, temporal readout) ─┘  time-align/concat
+  -> fusion proj -> SE -> LN -> dropout
+  -> N x pre-norm BiMamba encoders -> LN -> attention pooling -> classifier
+
+Returns ``(features (B, emb), logits (B, 2))``.
+
+Time alignment uses linear interpolation of the SincNet stream onto the WavLM
+frame rate (nearest when the ratio exceeds 4x), per `DualStreamSEMamba.py:601-625`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rade_tpu.nn.blocks import ResBlock2D
+from rade_tpu.nn.mamba import PNBiMambaEncoder
+from rade_tpu.nn.sinc import SincConv
+from rade_tpu.nn.wavlm import WavLMConfig, WavLMFrontend
+
+
+class SincNetEncoder(nn.Module):
+    """AASIST frontend only: sinc bank -> res blocks -> temporal max readout.
+
+    (`DualStreamSEMamba.py:206-270`) -> (B, T', 64).
+    """
+
+    sinc_channels: int = 70
+    sinc_kernel: int = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, freq_aug: bool = False):
+        filts = [self.sinc_channels, (1, 32), (32, 32), (32, 64), (64, 64)]
+        e = SincConv(out_channels=filts[0], kernel_size=self.sinc_kernel, name="conv_time")(
+            x, freq_aug=freq_aug
+        )
+        e = jnp.abs(e)[..., None]  # (B, H=F, W=T, C=1)
+        e = nn.max_pool(e, window_shape=(3, 3), strides=(3, 3))
+        e = nn.BatchNorm(use_running_average=not train, name="first_bn")(e)
+        e = jax.nn.selu(e)
+        specs = [filts[1], filts[2], filts[3], filts[4], filts[4], filts[4]]
+        for i, (c_in, c_out) in enumerate(specs):
+            e = ResBlock2D(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train)
+        # temporal readout: max |.| over the spectral axis -> (B, T', C)
+        return jnp.max(jnp.abs(e), axis=1)
+
+    @property
+    def out_dim(self) -> int:
+        return 64
+
+
+class SELayer(nn.Module):
+    """1-D squeeze-excitation over (B, T, C) (`DualStreamSEMamba.py:492-531`)."""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jnp.mean(x, axis=1)  # (B, C)
+        y = nn.Dense(self.channels // self.reduction, use_bias=False, name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False, name="fc2")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, :]
+
+
+def _time_align(f_s: jax.Array, target_len: int) -> jax.Array:
+    """Interpolate (B, T2, C) -> (B, target_len, C).
+
+    torch.F.interpolate semantics: 'linear' with align_corners=False, or
+    'nearest' when upscaling by more than 4x.
+    """
+    src_len = f_s.shape[1]
+    if src_len == target_len:
+        return f_s
+    scale = target_len / src_len
+    pos = (jnp.arange(target_len) + 0.5) / scale - 0.5
+    if scale > 4.0:
+        idx = jnp.clip(jnp.floor((jnp.arange(target_len)) / scale), 0, src_len - 1).astype(jnp.int32)
+        return f_s[:, idx, :]
+    lo = jnp.clip(jnp.floor(pos), 0, src_len - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, src_len - 1)
+    w = jnp.clip(pos - lo, 0.0, 1.0)[None, :, None]
+    return f_s[:, lo, :] * (1.0 - w) + f_s[:, hi, :] * w
+
+
+class DualStreamFusion(nn.Module):
+    """LN -> proj -> time-align -> concat -> proj -> SE -> LN -> dropout."""
+
+    out_dim: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, f_wavlm, f_sinc, train: bool = False):
+        f_w = nn.LayerNorm(name="ln_wavlm")(f_wavlm)
+        f_s = nn.LayerNorm(name="ln_sinc")(f_sinc)
+        f_w = nn.Dense(self.out_dim, name="wavlm_proj")(f_w)
+        f_s = nn.Dense(self.out_dim, name="sinc_proj")(f_s)
+        f_s = _time_align(f_s, f_w.shape[1])
+        fused = nn.Dense(self.out_dim, name="fusion_proj")(
+            jnp.concatenate([f_w, f_s], axis=-1)
+        )
+        fused = SELayer(self.out_dim, self.reduction, name="se_layer")(fused)
+        fused = nn.LayerNorm(name="norm")(fused)
+        return nn.Dropout(0.1, deterministic=not train)(fused)
+
+
+class DualStreamSEMamba(nn.Module):
+    emb_size: int = 144
+    num_encoders: int = 4
+    d_state: int = 16
+    sinc_channels: int = 70
+    se_reduction: int = 16
+    wavlm_cfg: WavLMConfig = dataclasses.field(default_factory=WavLMConfig.large)
+    use_pallas_scan: bool = False
+
+    @classmethod
+    def from_config(cls, model_config: Dict[str, Any]) -> "DualStreamSEMamba":
+        wavlm_variant = model_config.get("wavlm_variant", "large")
+        lora_rank = int(model_config.get("lora_r", 0))
+        kw = dict(
+            lora_rank=lora_rank,
+            lora_alpha=int(model_config.get("lora_alpha", 32)),
+            remat=bool(model_config.get("wavlm_remat", True)),
+        )
+        if wavlm_variant == "large":
+            wcfg = WavLMConfig.large(**kw)
+        elif wavlm_variant == "base":
+            wcfg = WavLMConfig.base(**kw)
+        else:
+            wcfg = WavLMConfig.tiny(**kw)
+        return cls(
+            emb_size=int(model_config.get("emb_size", 144)),
+            num_encoders=int(model_config.get("num_encoders", 4)),
+            d_state=int(model_config.get("d_state", 16)),
+            sinc_channels=int(model_config.get("sinc_channels", 70)),
+            se_reduction=int(model_config.get("se_reduction", 16)),
+            wavlm_cfg=wcfg,
+            use_pallas_scan=bool(model_config.get("use_pallas_scan", False)),
+        )
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, freq_aug: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        f_wavlm = WavLMFrontend(self.wavlm_cfg, name="wavlm_stream")(x, train)
+        f_sinc = SincNetEncoder(self.sinc_channels, name="sinc_stream")(
+            x, train, freq_aug
+        )
+        h = DualStreamFusion(self.emb_size, self.se_reduction, name="fusion")(
+            f_wavlm, f_sinc, train
+        )
+        for i in range(self.num_encoders):
+            h = PNBiMambaEncoder(
+                self.emb_size, self.d_state,
+                use_pallas=self.use_pallas_scan, name=f"backbone_{i}",
+            )(h)
+        h = nn.LayerNorm(name="norm_f")(h)
+        attn = jax.nn.softmax(nn.Dense(1, name="attention_pool")(h), axis=1)
+        features = jnp.sum(attn * h, axis=1)  # (B, emb)
+        features = nn.Dropout(0.1, deterministic=not train)(features)
+        logits = nn.Dense(2, name="classifier")(features)
+        return features, logits

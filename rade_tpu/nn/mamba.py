@@ -1,0 +1,113 @@
+"""Mamba blocks: selective-state-space mixer + pre-norm bidirectional encoder.
+
+TPU-native equivalents of the `mamba_ssm` modules the reference consumes
+(`src/models/DualStreamSEMamba.py:43,445-486`; executable spec
+`models/modules/mamba_block.py`):
+
+- :class:`MambaMixer` — the official `Mamba(d_model, d_state)` layer:
+  in_proj -> depthwise causal conv1d -> SiLU -> selective scan -> SiLU-gated
+  residual branch -> out_proj.  The scan runs through the Pallas kernel on TPU
+  (``use_pallas``) or the jnp associative scan (default, differentiable).
+- :class:`PNBiMambaEncoder` — the reference `PN_BiMambas_Encoder`
+  (`DualStreamSEMamba.py:445-486`): pre-norm, ONE shared mixer applied to the
+  sequence and to its time-reverse, summed, LayerNorm, 4x GELU FFN, residual.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rade_tpu.kernels.selective_scan import selective_scan, selective_scan_pallas
+
+
+def _dt_proj_bias_init(dt_min=1e-3, dt_max=0.1, floor=1e-4):
+    """Official Mamba dt bias init: softplus(bias) log-uniform in [dt_min, dt_max]."""
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.clip(dt, min=floor)
+        # inverse of softplus
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+
+    return init
+
+
+class MambaMixer(nn.Module):
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_inner = self.expand * self.d_model
+        dt_rank = math.ceil(self.d_model / 16)
+        L = x.shape[1]
+
+        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+        x_in, res = jnp.split(xz, 2, axis=-1)
+
+        # depthwise causal conv1d (kernel d_conv, left pad d_conv-1)
+        x_in = nn.Conv(
+            d_inner, (self.d_conv,),
+            padding=((self.d_conv - 1, 0),),
+            feature_group_count=d_inner,
+            name="conv1d",
+        )(x_in)
+        x_in = jax.nn.silu(x_in)
+
+        # input-dependent SSM parameters
+        x_dbl = nn.Dense(dt_rank + 2 * self.d_state, use_bias=False, name="x_proj")(x_in)
+        dt, Bm, Cm = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
+        dt = nn.Dense(
+            d_inner,
+            name="dt_proj",
+            kernel_init=nn.initializers.uniform(scale=2 * dt_rank**-0.5),
+            bias_init=_dt_proj_bias_init(),
+        )(dt)
+        dt = jax.nn.softplus(dt)
+
+        A_log = self.param(
+            "A_log",
+            lambda key, shape: jnp.log(
+                jnp.tile(jnp.arange(1, self.d_state + 1, dtype=jnp.float32), (d_inner, 1))
+            ),
+            (d_inner, self.d_state),
+        )
+        Dp = self.param("D", nn.initializers.ones, (d_inner,))
+        A = -jnp.exp(A_log)
+
+        scan = selective_scan_pallas if self.use_pallas else selective_scan
+        y = scan(x_in, dt, A, Bm, Cm, Dp)
+        y = y * jax.nn.silu(res)
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+
+
+class PNBiMambaEncoder(nn.Module):
+    """Pre-norm bidirectional Mamba encoder with a shared mixer."""
+
+    d_model: int
+    d_state: int = 16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        x_norm = nn.LayerNorm(name="norm1")(x)
+        mixer = MambaMixer(
+            self.d_model, self.d_state, use_pallas=self.use_pallas, name="mamba"
+        )
+        fwd = mixer(x_norm)
+        bwd = jnp.flip(mixer(jnp.flip(x_norm, axis=1)), axis=1)
+        h = nn.LayerNorm(name="norm2")(fwd + bwd)
+        h = nn.Dense(self.d_model * 4, name="ff1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.d_model, name="ff2")(h)
+        return h + residual

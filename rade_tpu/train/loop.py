@@ -1,0 +1,279 @@
+"""Experiment orchestration: build -> train -> score -> checkpoint.
+
+The TPU-native counterpart of the reference `main()` epoch loop
+(`/root/reference/src/main.py:161-796`): per epoch {train epoch -> dev scoring
+-> t-DCF/EER -> best-model selection on dev EER -> SWA snapshot}, periodic
+checkpoints keep-last-3, optional eval-all-best, final SWA swap + eval, and
+metric logging.  Data parallelism: batches sharded over the mesh's 'data'
+axis, parameters replicated, one jit'd step.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rade_tpu.config import ExperimentConfig
+from rade_tpu.data.datasets import EvalDataset, TrainDataset
+from rade_tpu.data.pipeline import EvalBatcher, TrainBatcher, prefetch
+from rade_tpu.data.protocols import parse_protocol_eval, parse_protocol_labeled
+from rade_tpu.evaluate.scoring import calculate_tdcf_eer
+from rade_tpu.evaluate.scorer import produce_evaluation_file
+from rade_tpu.losses import ocsoftmax_init
+from rade_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from rade_tpu.registry import build_model
+from rade_tpu.train.checkpoint import CheckpointManager, save_state
+from rade_tpu.train.optim import make_optimizer, make_trainable_mask
+from rade_tpu.train.state import TrainState
+from rade_tpu.train.step import make_eval_step, make_train_step
+
+
+def _ocsoftmax_feat_dim(cfg: ExperimentConfig) -> int:
+    arch = cfg.architecture
+    if any(k in arch for k in ("WavLMMamba", "MoEMambaASV", "DualStreamSEMamba")):
+        return int(cfg.model_config.get("emb_size", 144))
+    if "CascadeMamba" in arch:
+        return 128
+    return 160  # AASIST-style last_hidden width (reference default)
+
+
+class Experiment:
+    """Builds the model/state/steps for a config; drives training and eval."""
+
+    def __init__(self, cfg: ExperimentConfig, seed: int = 1234, mesh=None):
+        self.cfg = cfg
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = build_model(dict(cfg.model_config))
+        self.nb_samp = int(cfg.model_config.get("nb_samp", 64600))
+        self.rng = jax.random.PRNGKey(seed)
+
+        # --- init params ---
+        init_rngs = {
+            "params": self.rng,
+            "dropout": jax.random.fold_in(self.rng, 1),
+            "freq_aug": jax.random.fold_in(self.rng, 2),
+        }
+        dummy = jnp.zeros((2, self.nb_samp), jnp.float32)
+        variables = self.model.init(init_rngs, dummy, train=False)
+        model_params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        loss_params: Dict[str, Any] = {}
+        if cfg.training.use_ocsoftmax:
+            loss_params = ocsoftmax_init(
+                jax.random.fold_in(self.rng, 3), _ocsoftmax_feat_dim(cfg)
+            )
+        self.params = {"model": model_params, "loss": loss_params}
+        self.batch_stats = batch_stats
+
+        frozen = ()
+        if cfg.training.freeze_sincnet:
+            frozen = frozen + ("sinc_stream",)
+        self.trainable_mask = (
+            make_trainable_mask(self.params, frozen) if frozen else None
+        )
+
+        self.eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self._batch_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        self._eval_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        self.state: Optional[TrainState] = None
+        self.tx = None
+        self.train_step = None
+
+    # ------------------------------------------------------------------ setup
+    def setup_training(self, steps_per_epoch: int) -> TrainState:
+        cfg = self.cfg
+        accum = max(1, cfg.training.accumulation_steps)
+        total_steps = cfg.num_epochs * steps_per_epoch
+        self.tx = make_optimizer(
+            cfg.optim, cfg.training, total_steps, cfg.training.grad_clip_norm
+        )
+        self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx))
+        replicated = NamedSharding(self.mesh, P())
+        state = TrainState.create(
+            params=self.params,
+            batch_stats=self.batch_stats,
+            tx=self.tx,
+            rng=jax.random.fold_in(self.rng, 7),
+            use_ema=cfg.training.use_ema,
+            trainable_mask=self.trainable_mask,
+        )
+        self.state = jax.device_put(state, replicated)
+        return self.state
+
+    # ------------------------------------------------------------- data setup
+    def build_loaders(self, database_path: Path):
+        cfg = self.cfg
+        db = Path(database_path)
+        track = cfg.track
+        prefix = f"ASVspoof2019.{track}"
+        proto_dir = db / f"ASVspoof2019_{track}_cm_protocols"
+        train_proto = (
+            Path(cfg.data.custom_train_protocol)
+            if cfg.data.custom_train_protocol
+            else proto_dir / f"{prefix}.cm.train.trn.txt"
+        )
+        dev_proto = proto_dir / f"{prefix}.cm.dev.trl.txt"
+        eval_proto = proto_dir / f"{prefix}.cm.eval.trl.txt"
+
+        labels, train_files = parse_protocol_labeled(train_proto)
+        dev_labels, dev_files = parse_protocol_labeled(dev_proto)
+        eval_files = parse_protocol_eval(eval_proto)
+
+        algo = cfg.data.rawboost_algo if cfg.data.use_rawboost else 0
+        train_ds = TrainDataset(
+            train_files, labels, db / f"ASVspoof2019_{track}_train",
+            algo=algo, use_codec=cfg.data.use_codec_aug,
+            codec_p=cfg.data.codec_p, rawboost_p=cfg.data.rawboost_p,
+            cut=self.nb_samp, seed=self.seed,
+        )
+        dev_ds = EvalDataset(dev_files, db / f"ASVspoof2019_{track}_dev", cut=self.nb_samp)
+        eval_ds = EvalDataset(eval_files, db / f"ASVspoof2019_{track}_eval", cut=self.nb_samp)
+        return (
+            TrainBatcher(train_ds, cfg.batch_size, seed=self.seed),
+            EvalBatcher(dev_ds, cfg.test.batch_size),
+            EvalBatcher(eval_ds, cfg.test.batch_size),
+            dev_proto,
+            eval_proto,
+        )
+
+    # ---------------------------------------------------------------- running
+    def train_one_epoch(self, batcher: TrainBatcher, epoch: int) -> float:
+        """Group micro-batches into macro-batches of `accum` and step."""
+        accum = max(1, self.cfg.training.accumulation_steps)
+        losses = []
+        micro_iter = prefetch(batcher.epoch(epoch), depth=4)
+        group_x, group_y = [], []
+        for xb, yb in micro_iter:
+            group_x.append(xb)
+            group_y.append(yb)
+            if len(group_x) == accum:
+                xs = jax.device_put(np.stack(group_x), self._batch_sharding)
+                ys = jax.device_put(np.stack(group_y), self._batch_sharding)
+                self.state, metrics = self.train_step(self.state, xs, ys)
+                losses.append(metrics["loss"])
+                group_x, group_y = [], []
+        # trailing partial group (< accum micro-batches) is dropped; the
+        # reference takes a partial optimizer step there instead — at most
+        # accum-1 micro-batches per epoch differ.
+        if not losses:
+            return float("nan")
+        return float(np.mean(jax.device_get(losses)))
+
+    def score_split(self, batcher: EvalBatcher, trial_path, out_path, use_ema=True):
+        params = self.state.eval_params if (use_ema and self.state is not None) else self.params
+        batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
+        produce_evaluation_file(
+            self.eval_step, params, batch_stats, batcher, trial_path, out_path,
+            put_batch=lambda x: jax.device_put(x, self._eval_sharding),
+        )
+
+
+def run_training(
+    cfg: ExperimentConfig,
+    database_path,
+    output_dir,
+    config_path="config.conf",
+    seed: int = 1234,
+    comment: str = "",
+    start_epoch: int = 0,
+    resume_path: Optional[str] = None,
+    log_fn=print,
+) -> Dict[str, Any]:
+    """Full training run; returns summary metrics."""
+    exp = Experiment(cfg, seed=seed)
+    trn, dev, evl, dev_proto, eval_proto = exp.build_loaders(Path(database_path))
+
+    accum = max(1, cfg.training.accumulation_steps)
+    steps_per_epoch = max(1, len(trn) // accum)
+    state = exp.setup_training(steps_per_epoch)
+    if resume_path:
+        from rade_tpu.train.checkpoint import restore_state
+
+        exp.state = restore_state(resume_path, state)
+        log_fn(f"resumed full train state from {resume_path}")
+
+    tag = cfg.model_tag(config_path, comment)
+    run_dir = Path(output_dir) / tag
+    weights = CheckpointManager(run_dir / "weights")
+    metrics_dir = run_dir / "metrics"
+    metrics_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.conf").write_text(json.dumps(cfg.raw, indent=2))
+    metric_log = open(run_dir / "metric_log.txt", "a")
+    metric_log.write("=" * 5 + "\n")
+
+    asv_path = cfg.asv_score_path
+    best_dev_eer, best_eval_eer, best_eval_tdcf = 100.0, 100.0, 1.0
+    history = []
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        t0 = time.time()
+        loss = exp.train_one_epoch(trn, epoch)
+        dev_score = metrics_dir / f"dev_score_ep{epoch}.txt"
+        exp.score_split(dev, dev_proto, dev_score)
+        dev_eer, dev_tdcf = calculate_tdcf_eer(
+            str(dev_score), asv_path,
+            str(metrics_dir / f"dev_t-DCF_EER_{epoch:03d}epo.txt"), printout=False,
+        )
+        dt = time.time() - t0
+        log_fn(
+            f"epoch {epoch:03d} loss {loss:.5f} dev_eer {dev_eer:.3f}% "
+            f"dev_tdcf {dev_tdcf:.5f} ({dt:.1f}s)"
+        )
+        metric_log.write(
+            f"{epoch:03d}: loss={loss:.5f} dev_eer={dev_eer:.4f} dev_tdcf={dev_tdcf:.5f}\n"
+        )
+        metric_log.flush()
+        history.append({"epoch": epoch, "loss": loss, "dev_eer": dev_eer, "dev_tdcf": dev_tdcf})
+
+        if dev_eer < best_dev_eer:
+            best_dev_eer = dev_eer
+            weights.save_best(exp.state, epoch, dev_eer)
+            if cfg.eval_all_best:
+                eval_score = run_dir / cfg.eval_output
+                exp.score_split(evl, eval_proto, eval_score)
+                eval_eer, eval_tdcf = calculate_tdcf_eer(
+                    str(eval_score), asv_path,
+                    str(metrics_dir / f"t-DCF_EER_{epoch:03d}epo.txt"), printout=False,
+                )
+                log_fn(f"  eval_eer {eval_eer:.3f}% eval_tdcf {eval_tdcf:.5f}")
+                if eval_tdcf < best_eval_tdcf:
+                    best_eval_tdcf, best_eval_eer = eval_tdcf, eval_eer
+                    weights.save_named(exp.state, "best")
+            # SWA snapshot on every new-best epoch (reference `main.py:643-645`)
+            if cfg.training.use_swa:
+                exp.state = exp.state.swa_snapshot()
+
+        if epoch % 10 == 0:
+            weights.save_periodic(exp.state, epoch)
+
+    # final: SWA swap + eval (reference `main.py:671-687`)
+    if cfg.training.use_swa and exp.state.swa_params is not None:
+        weights.save_named(exp.state, "swa")
+        swa_state = exp.state.replace(params=exp.state.swa_params, ema_params=None)
+        exp.state = swa_state
+        final_score = run_dir / ("swa_" + cfg.eval_output)
+        exp.score_split(evl, eval_proto, final_score, use_ema=False)
+        swa_eer, swa_tdcf = calculate_tdcf_eer(
+            str(final_score), asv_path, str(metrics_dir / "t-DCF_EER_swa.txt"), printout=False
+        )
+        log_fn(f"SWA eval_eer {swa_eer:.3f}% eval_tdcf {swa_tdcf:.5f}")
+
+    metric_log.close()
+    return {
+        "best_dev_eer": best_dev_eer,
+        "best_eval_eer": best_eval_eer,
+        "best_eval_tdcf": best_eval_tdcf,
+        "history": history,
+        "run_dir": str(run_dir),
+    }

@@ -1,0 +1,123 @@
+"""Optimizer + LR schedule: AdamW param groups, linear warmup -> cosine.
+
+Mirrors the reference trainer's inline optimizer
+(`/root/reference/src/main.py:405-483`):
+
+- AdamW with differential learning rates — params under ``wavlm_stream`` get
+  ``wavlm_lr``, everything else (backbone + loss params) gets ``base_lr``;
+- LinearLR(start_factor=warmup_init_factor) for ``warmup_steps`` then
+  CosineAnnealingLR to ``eta_min`` (absolute floor, shared by all groups);
+- schedules advance per *optimizer* step (gradient accumulation happens
+  inside the train step, so every `tx.update` is one optimizer step);
+- global-norm gradient clipping at 3.0 happens before the update.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rade_tpu.config import OptimConfig, TrainingConfig
+
+
+def warmup_cosine_schedule(
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int,
+    warmup_init_factor: float = 0.1,
+    eta_min: float = 0.0,
+) -> optax.Schedule:
+    """torch LinearLR->CosineAnnealingLR (SequentialLR) semantics."""
+    warmup_steps = min(max(1, warmup_steps), max(1, total_steps - 1))
+    t_max = max(1, total_steps - warmup_steps)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm_frac = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        warm_lr = base_lr * (warmup_init_factor + (1.0 - warmup_init_factor) * warm_frac)
+        t = jnp.clip(step - warmup_steps, 0.0, t_max)
+        cos_lr = eta_min + (base_lr - eta_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * t / t_max))
+        return jnp.where(step < warmup_steps, warm_lr, cos_lr)
+
+    return schedule
+
+
+def wavlm_label_fn(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Label each param 'wavlm' if its path contains wavlm_stream, else 'backbone'."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label_of_path(path) -> str:
+        keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        return "wavlm" if any("wavlm_stream" in str(k) for k in keys) else "backbone"
+
+    labels = jax.tree_util.tree_map_with_path(lambda p, _: label_of_path(p), params)
+    return labels
+
+
+def make_optimizer(
+    optim_cfg: OptimConfig,
+    training_cfg: TrainingConfig,
+    total_optimizer_steps: int,
+    grad_clip_norm: float = 3.0,
+) -> optax.GradientTransformation:
+    """AdamW with differential LR groups and warmup+cosine schedules."""
+    eta_min = float(
+        optim_cfg.scheduler_config.get("eta_min", optim_cfg.lr_min)
+    )
+    warmup_steps = int(
+        training_cfg.warmup_ratio * total_optimizer_steps
+    ) if training_cfg.warmup_ratio > 0 else 1
+    warmup_steps = max(1, warmup_steps)
+
+    def group(base_lr: float) -> optax.GradientTransformation:
+        sched = warmup_cosine_schedule(
+            base_lr,
+            total_optimizer_steps,
+            warmup_steps,
+            training_cfg.warmup_init_factor,
+            eta_min,
+        )
+        return optax.adamw(
+            learning_rate=sched,
+            b1=optim_cfg.betas[0],
+            b2=optim_cfg.betas[1],
+            weight_decay=optim_cfg.weight_decay,
+        )
+
+    wavlm_lr = optim_cfg.wavlm_lr if optim_cfg.wavlm_lr is not None else 1e-6
+    tx = optax.multi_transform(
+        {"backbone": group(optim_cfg.base_lr), "wavlm": group(wavlm_lr)},
+        wavlm_label_fn,
+    )
+    return optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+
+
+def make_trainable_mask(
+    params: Dict[str, Any],
+    frozen_path_substrings: tuple = (),
+    always_trainable_substrings: tuple = ("lora_", "layer_weights"),
+) -> Dict[str, Any]:
+    """1/0 mask pytree: 0 for params whose path matches a frozen substring.
+
+    Replaces torch's `requires_grad=False` freezing (freeze_sincnet, WavLM
+    layer freezing, LoRA base-freeze): masked grads are zeroed before the
+    optimizer, so frozen params never move.  Paths matching an
+    `always_trainable` substring (LoRA adapters, the 25-layer weighting) stay
+    trainable even inside frozen subtrees.
+    """
+
+    def is_trainable(path, _) -> float:
+        keys = "/".join(str(getattr(k, "key", getattr(k, "name", ""))) for k in path)
+        if any(s in keys for s in always_trainable_substrings):
+            return 1.0
+        return 0.0 if any(s in keys for s in frozen_path_substrings) else 1.0
+
+    return jax.tree_util.tree_map_with_path(is_trainable, params)
+
+
+def apply_mask(grads, mask):
+    return jax.tree.map(lambda g, m: g * m, grads, mask)

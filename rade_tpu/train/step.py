@@ -1,0 +1,205 @@
+"""The fused train step: mixup + forward + loss + FGM + accumulation + EMA.
+
+One jit-compiled function reproducing the reference's `train_epoch` inner loop
+(`/root/reference/src/main.py:998-1126`) as a single XLA program per optimizer
+step:
+
+- consumes a macro-batch ``(accum_steps, micro_bs, T)`` and `lax.scan`s over
+  micro-batches, accumulating gradients (= the reference's loss/accum +
+  backward-sum semantics);
+- mixup draws a Beta(alpha, alpha) lambda and a permutation per micro-batch
+  (`main.py:1038-1046`);
+- FGM perturbs the parameters whose path contains ``fgm_emb_name`` by
+  eps * g/||g|| (per-leaf norm), runs a second forward/backward on the same
+  mixed batch, adds the gradients, and restores (`main.py:74-100, 1080-1098`)
+  — expressed as two `jax.grad` calls, no mutation;
+- the adversarial forward also advances BN running stats, as torch train-mode
+  does;
+- gradient clip (global norm 3.0) -> AdamW update -> EMA update
+  (`ema = d*ema + (1-d)*p`) per optimizer step;
+- bf16 on TPU replaces AMP+GradScaler (no loss scaling needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rade_tpu.config import ExperimentConfig
+from rade_tpu import losses as L
+from .optim import apply_mask
+from .state import TrainState
+
+
+def _fgm_mask(params, emb_name: str):
+    def match(path, _):
+        keys = "/".join(str(getattr(k, "key", getattr(k, "name", ""))) for k in path)
+        return 1.0 if emb_name in keys else 0.0
+
+    return jax.tree_util.tree_map_with_path(match, params)
+
+
+def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
+    """(params, batch_stats, x, y_soft, y_hard, rngs, train) -> (loss, new_bs, logits)."""
+    tc = cfg.training
+
+    def compute(logits, feats, loss_params, targets_soft, y_hard):
+        if tc.use_ocsoftmax:
+            # OC-Softmax consumes hard labels; mixup mixes the two losses outside
+            base = L.ocsoftmax_loss(
+                loss_params, feats, y_hard,
+                tc.ocsoftmax_r_real, tc.ocsoftmax_r_fake, tc.ocsoftmax_alpha,
+            )
+        elif tc.use_focal_loss:
+            base = L.focal_loss_soft(logits, targets_soft, tc.focal_alpha, tc.focal_gamma)
+        else:
+            base = L.weighted_cross_entropy_soft(
+                logits, targets_soft, y_hard, label_smoothing=tc.label_smoothing
+            )
+        if tc.use_supcon:
+            feats_n = feats / (jnp.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+            base = base + tc.lambda_supcon * L.supcon_loss(feats_n, y_hard)
+        return base
+
+    def loss_fn(params, batch_stats, x, y, rngs, mixup_rng):
+        n_cls = 2
+        if tc.use_mixup and x.shape[0] > 1:
+            k_lam, k_perm = jax.random.split(mixup_rng)
+            lam = jax.random.beta(k_lam, tc.mixup_alpha, tc.mixup_alpha)
+            perm = jax.random.permutation(k_perm, x.shape[0])
+            x_in = lam * x + (1.0 - lam) * x[perm]
+            y_a, y_b = y, y[perm]
+        else:
+            lam = jnp.float32(1.0)
+            x_in, y_a, y_b = x, y, y
+
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        mutable = [] if tc.freeze_bn else ["batch_stats"]
+        bn_train = not tc.freeze_bn
+        out = model.apply(
+            variables, x_in,
+            train=True, freq_aug=cfg.freq_aug,
+            rngs=rngs, mutable=mutable,
+        )
+        if mutable:
+            (feats, logits), updates = out
+            new_bs = updates["batch_stats"]
+        else:
+            feats, logits = out
+            new_bs = batch_stats
+
+        t_a = jax.nn.one_hot(y_a, n_cls, dtype=logits.dtype)
+        t_b = jax.nn.one_hot(y_b, n_cls, dtype=logits.dtype)
+        loss_a = compute(logits, feats, params.get("loss", {}), t_a, y_a)
+        loss_b = compute(logits, feats, params.get("loss", {}), t_b, y_b)
+        loss = lam * loss_a + (1.0 - lam) * loss_b
+        return loss, (new_bs, logits)
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jit-able one-optimizer-step function over a macro-batch."""
+    tc = cfg.training
+    loss_fn = make_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def micro_step(params, batch_stats, x, y, rng):
+        rng, k_drop, k_freq, k_mix, k_drop2, k_freq2 = jax.random.split(rng, 6)
+        rngs = {"dropout": k_drop, "freq_aug": k_freq}
+        (loss, (batch_stats, _)), grads = grad_fn(
+            params, batch_stats, x, y, rngs, k_mix
+        )
+        if tc.use_fgm:
+            fmask = _fgm_mask(params, tc.fgm_emb_name)
+
+            def perturb(p, m, g):
+                norm = jnp.linalg.norm(g)
+                delta = jnp.where(norm > 0, tc.fgm_epsilon * g / (norm + 1e-12), 0.0)
+                return p + m * delta
+
+            params_adv = jax.tree.map(perturb, params, fmask, grads)
+            rngs_adv = {"dropout": k_drop2, "freq_aug": k_freq2}
+            (adv_loss, (batch_stats, _)), adv_grads = grad_fn(
+                params_adv, batch_stats, x, y, rngs_adv, k_mix
+            )
+            grads = jax.tree.map(jnp.add, grads, adv_grads)
+            loss = loss + adv_loss
+        return loss, grads, batch_stats, rng
+
+    def train_step(state: TrainState, xb: jax.Array, yb: jax.Array):
+        """xb: (accum, micro_bs, T); yb: (accum, micro_bs)."""
+        accum = xb.shape[0]
+        rng, step_rng = jax.random.split(state.rng)
+
+        def body(carry, inp):
+            grad_acc, batch_stats, rng = carry
+            x, y = inp
+            loss, grads, batch_stats, rng = micro_step(
+                state.params, batch_stats, x, y, rng
+            )
+            grads = jax.tree.map(lambda a, g: a + g / accum, grad_acc, grads)
+            return (grads, batch_stats, rng), loss
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, batch_stats, _), losses = jax.lax.scan(
+            body, (zero_grads, state.batch_stats, step_rng), (xb, yb)
+        )
+
+        if state.trainable_mask is not None:
+            grads = apply_mask(grads, state.trainable_mask)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if state.trainable_mask is not None:
+            # belt-and-braces: frozen params never move even via weight decay
+            params = jax.tree.map(
+                lambda new, old, m: jnp.where(m > 0, new, old),
+                params, state.params, state.trainable_mask,
+            )
+
+        ema_params = state.ema_params
+        if ema_params is not None:
+            d = tc.ema_decay
+            ema_params = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, ema_params, params
+            )
+
+        new_state = state.replace(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            step=state.step + 1,
+            rng=rng,
+        )
+        metrics = {"loss": jnp.mean(losses)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
+    """jit-able scorer: higher score => bona-fide.
+
+    Score = logits[:, 1], or the OC-Softmax center cosine when that loss is in
+    use (`/root/reference/src/main.py:978-984`).
+    """
+    use_oc = cfg.training.use_ocsoftmax
+
+    def eval_step(params, batch_stats, x):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        feats, logits = model.apply(variables, x, train=False)
+        if use_oc:
+            return L.ocsoftmax_scores(params["loss"], feats)
+        return logits[:, 1]
+
+    return eval_step

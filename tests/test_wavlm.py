@@ -1,0 +1,121 @@
+"""WavLM Flax port parity vs the torch `transformers` implementation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rade_tpu.nn.wavlm import WavLMConfig, WavLMFrontend, WavLMModel, wavlm_frozen_paths
+from rade_tpu.nn.wavlm_convert import convert_hf_state_dict
+
+
+def _tiny_hf_config():
+    from transformers import WavLMConfig as HFConfig
+
+    return HFConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2),
+        num_feat_extract_layers=3,
+        feat_extract_norm="layer",
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        num_buckets=40,
+        max_bucket_distance=100,
+        do_stable_layer_norm=True,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_and_flax():
+    import torch
+    from transformers import WavLMModel as HFModel
+
+    torch.manual_seed(0)
+    hf = HFModel(_tiny_hf_config()).eval()
+    cfg = WavLMConfig.tiny()
+    params = convert_hf_state_dict(hf.state_dict(), cfg)
+    return hf, cfg, params
+
+
+def test_forward_matches_torch(torch_and_flax):
+    import torch
+
+    hf, cfg, params = torch_and_flax
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3200).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        out = hf(torch.tensor(x), output_hidden_states=True)
+    torch_last = out.last_hidden_state.numpy()
+    torch_hidden = [h.numpy() for h in out.hidden_states]
+
+    model = WavLMModel(cfg)
+    last, hidden = model.apply({"params": params}, jnp.asarray(x), train=False)
+    last = np.asarray(last)
+
+    assert last.shape == torch_last.shape
+    np.testing.assert_allclose(last, torch_last, rtol=2e-3, atol=2e-4)
+    assert len(hidden) == len(torch_hidden) == cfg.num_hidden_layers + 1
+    for ours, ref in zip(hidden, torch_hidden):
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-4)
+
+
+def test_frontend_layer_weighting(torch_and_flax):
+    _, cfg, params = torch_and_flax
+    frontend = WavLMFrontend(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 3200)) * 0.1
+    fparams = frontend.init({"params": rng}, x, train=False)["params"]
+    # splice the converted torch weights into the frontend's inner model
+    fparams = {"model": params, "layer_weights": fparams["layer_weights"]}
+    y = frontend.apply({"params": fparams}, x, train=False)
+    assert y.shape[0] == 1 and y.shape[2] == cfg.hidden_size
+    assert np.all(np.isfinite(np.asarray(y)))
+    # uniform init weights => output == mean of hidden states
+    model = WavLMModel(cfg)
+    _, hidden = model.apply({"params": params}, x, train=False)
+    mean_h = np.mean(np.stack([np.asarray(h) for h in hidden]), axis=0)
+    np.testing.assert_allclose(np.asarray(y), mean_h, rtol=1e-4, atol=1e-5)
+
+
+def test_lora_params_and_zero_init_identity(torch_and_flax):
+    _, cfg, params = torch_and_flax
+    import dataclasses
+
+    lora_cfg = dataclasses.replace(cfg, lora_rank=4)
+    model = WavLMModel(lora_cfg)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 3200)) * 0.1
+    lora_params = model.init({"params": rng}, x, train=False)["params"]
+    # LoRA B zero-init => adding adapters to converted weights is an identity
+    for i in range(cfg.num_hidden_layers):
+        attn = lora_params[f"layers_{i}"]["attention"]
+        assert "lora_A_q_proj" in attn and "lora_B_v_proj" in attn
+        for name in ("q_proj", "v_proj"):
+            params[f"layers_{i}"]["attention"][f"lora_A_{name}"] = attn[f"lora_A_{name}"]
+            params[f"layers_{i}"]["attention"][f"lora_B_{name}"] = attn[f"lora_B_{name}"]
+    base_model = WavLMModel(cfg)
+    y_base, _ = base_model.apply({"params": {k: v for k, v in params.items()}}, x, train=False)
+    y_lora, _ = model.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_base), np.asarray(y_lora), rtol=1e-5, atol=1e-6)
+
+
+def test_frozen_paths():
+    paths = wavlm_frozen_paths(freeze_layers=12, num_layers=24)
+    assert "feature_extractor" in paths and "feature_projection" in paths
+    assert "layers_11/" in paths and "layers_12/" not in paths
+    assert wavlm_frozen_paths(-1) == ("feature_extractor", "feature_projection")
+    assert wavlm_frozen_paths(0, use_lora=True) == ("wavlm_stream/model",)
