@@ -49,7 +49,8 @@ class AASIST(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, freq_aug: bool = False
+        self, x: jax.Array, train: bool = False, freq_aug: bool = False,
+        freeze_bn: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         filts = self.filts
         gat_dims = self.gat_dims
@@ -62,13 +63,13 @@ class AASIST(nn.Module):
         )  # (B, F, T')
         e = jnp.abs(e)[..., None]  # NHWC with H=F, W=T', C=1
         e = nn.max_pool(e, window_shape=(3, 3), strides=(3, 3))
-        e = nn.BatchNorm(use_running_average=not train, name="first_bn")(e)
+        e = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="first_bn")(e)
         e = jax.nn.selu(e)
 
         # --- 6-block residual encoder ---
         specs = [filts[1], filts[2], filts[3], filts[4], filts[4], filts[4]]
         for i, (c_in, c_out) in enumerate(specs):
-            e = ResBlock2D(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train)
+            e = ResBlock2D(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train, freeze_bn)
         # e: (B, H=spec, W=time, C)
 
         # --- spectral / temporal node sets (max-|.| readouts) ---
@@ -81,19 +82,19 @@ class AASIST(nn.Module):
         e_s = e_s + pos_s
         e_t = jnp.max(e_abs, axis=1)  # (B, W, C): max over freq
 
-        gat_s = GraphAttentionLayer(gat_dims[0], temps[0], name="GAT_layer_S")(e_s, train)
+        gat_s = GraphAttentionLayer(gat_dims[0], temps[0], name="GAT_layer_S")(e_s, train, freeze_bn)
         out_s = GraphPool(pr[0], name="pool_S")(gat_s, train)
-        gat_t = GraphAttentionLayer(gat_dims[0], temps[1], name="GAT_layer_T")(e_t, train)
+        gat_t = GraphAttentionLayer(gat_dims[0], temps[1], name="GAT_layer_T")(e_t, train, freeze_bn)
         out_t = GraphPool(pr[1], name="pool_T")(gat_t, train)
 
         master1 = self.param("master1", nn.initializers.normal(1.0), (1, 1, gat_dims[0]))
         master2 = self.param("master2", nn.initializers.normal(1.0), (1, 1, gat_dims[0]))
 
         def branch(out_t0, out_s0, master, l1, l2, ps, pt):
-            t1, s1, m1 = l1(out_t0, out_s0, master, train)
+            t1, s1, m1 = l1(out_t0, out_s0, master, train, freeze_bn)
             s1 = ps(s1, train)
             t1 = pt(t1, train)
-            t_aug, s_aug, m_aug = l2(t1, s1, m1, train)
+            t_aug, s_aug, m_aug = l2(t1, s1, m1, train, freeze_bn)
             return t1 + t_aug, s1 + s_aug, m1 + m_aug
 
         ht11 = HtrgGraphAttentionLayer(gat_dims[0], gat_dims[1], temps[2], name="HtrgGAT_layer_ST11")

@@ -40,18 +40,19 @@ class SincNetEncoder(nn.Module):
     sinc_kernel: int = 128
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False, freq_aug: bool = False):
+    def __call__(self, x: jax.Array, train: bool = False, freq_aug: bool = False,
+                 freeze_bn: bool = False):
         filts = [self.sinc_channels, (1, 32), (32, 32), (32, 64), (64, 64)]
         e = SincConv(out_channels=filts[0], kernel_size=self.sinc_kernel, name="conv_time")(
             x, freq_aug=freq_aug
         )
         e = jnp.abs(e)[..., None]  # (B, H=F, W=T, C=1)
         e = nn.max_pool(e, window_shape=(3, 3), strides=(3, 3))
-        e = nn.BatchNorm(use_running_average=not train, name="first_bn")(e)
+        e = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="first_bn")(e)
         e = jax.nn.selu(e)
         specs = [filts[1], filts[2], filts[3], filts[4], filts[4], filts[4]]
         for i, (c_in, c_out) in enumerate(specs):
-            e = ResBlock2D(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train)
+            e = ResBlock2D(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train, freeze_bn)
         # temporal readout: max |.| over the spectral axis -> (B, T', C)
         return jnp.max(jnp.abs(e), axis=1)
 
@@ -153,11 +154,12 @@ class DualStreamSEMamba(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, freq_aug: bool = False
+        self, x: jax.Array, train: bool = False, freq_aug: bool = False,
+        freeze_bn: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         f_wavlm = WavLMFrontend(self.wavlm_cfg, name="wavlm_stream")(x, train)
         f_sinc = SincNetEncoder(self.sinc_channels, name="sinc_stream")(
-            x, train, freq_aug
+            x, train, freq_aug, freeze_bn
         )
         h = DualStreamFusion(self.emb_size, self.se_reduction, name="fusion")(
             f_wavlm, f_sinc, train

@@ -34,10 +34,10 @@ class ResBlock1D(nn.Module):
     first: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, freeze_bn: bool = False) -> jax.Array:
         identity = x
         out = nn.Conv(self.out_ch, (3,), padding=((1, 1),), name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="bn2")(out)
         out = nn.leaky_relu(out, negative_slope=0.3)
         out = nn.Conv(self.out_ch, (3,), padding=((1, 1),), name="conv2")(out)
         if self.in_ch != self.out_ch:
@@ -70,14 +70,15 @@ class RawNet2(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False, freq_aug: bool = False
+        self, x: jax.Array, train: bool = False, freq_aug: bool = False,
+        freeze_bn: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         del freq_aug  # RawNet2 has no frequency masking in the reference
         filts = self.filts
         e = SincConv(out_channels=filts[0], kernel_size=self.first_conv, name="Sinc_conv")(x)
         e = jnp.abs(e).transpose(0, 2, 1)  # (B, T', C) channels-last
         e = nn.max_pool(e, window_shape=(3,), strides=(3,))
-        e = nn.BatchNorm(use_running_average=not train, name="first_bn")(e)
+        e = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="first_bn")(e)
         e = jax.nn.selu(e)
 
         # block channel plan: 2x filts[1], then filts[2], then 3x (filts[2][1], filts[2][1])
@@ -90,14 +91,14 @@ class RawNet2(nn.Module):
             (filts[2][1], filts[2][1], False),
         ]
         for i, (c_in, c_out, first) in enumerate(plans):
-            e = ResBlock1D(c_in, c_out, first, name=f"block{i}")(e, train)
+            e = ResBlock1D(c_in, c_out, first, name=f"block{i}")(e, train, freeze_bn)
             # FC attention over global-avg-pooled features: x = x*a + a
             a = jnp.mean(e, axis=1)  # (B, C)
             a = nn.Dense(c_out, name=f"fc_attention{i}")(a)
             a = jax.nn.sigmoid(a)[:, None, :]  # (B, 1, C)
             e = e * a + a
 
-        e = nn.BatchNorm(use_running_average=not train, name="bn_before_gru")(e)
+        e = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="bn_before_gru")(e)
         e = jax.nn.selu(e)
 
         # 3-layer GRU, batch_first; take the last time step

@@ -26,10 +26,10 @@ class ResBlock2D(nn.Module):
     first: bool = False  # config parity only; see module docstring
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, freeze_bn: bool = False) -> jax.Array:
         identity = x
         out = nn.Conv(self.out_ch, (2, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="bn2")(out)
         out = jax.nn.selu(out)
         out = nn.Conv(self.out_ch, (2, 3), padding=((0, 0), (1, 1)), name="conv2")(out)
         if self.in_ch != self.out_ch:

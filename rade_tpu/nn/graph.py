@@ -24,11 +24,11 @@ from flax import linen as nn
 _xavier = nn.initializers.xavier_normal()
 
 
-def _batch_norm_nodes(x: jax.Array, train: bool, name: str) -> jax.Array:
+def _batch_norm_nodes(x: jax.Array, train: bool, name: str, freeze_bn: bool = False) -> jax.Array:
     """BatchNorm over flattened (B*N, D) node features, as the reference does."""
     b, n, d = x.shape
     flat = x.reshape(b * n, d)
-    flat = nn.BatchNorm(use_running_average=not train, name=name)(flat)
+    flat = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name=name)(flat)
     return flat.reshape(b, n, d)
 
 
@@ -38,7 +38,7 @@ class GraphAttentionLayer(nn.Module):
     input_dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, freeze_bn: bool = False) -> jax.Array:
         # x: (B, N, D_in)
         x = nn.Dropout(self.input_dropout, deterministic=not train)(x)
 
@@ -54,7 +54,7 @@ class GraphAttentionLayer(nn.Module):
         out = nn.Dense(self.out_dim, name="proj_with_att")(mixed) + nn.Dense(
             self.out_dim, name="proj_without_att"
         )(x)
-        out = _batch_norm_nodes(out, train, "bn")
+        out = _batch_norm_nodes(out, train, "bn", freeze_bn)
         return jax.nn.selu(out)
 
 
@@ -73,6 +73,7 @@ class HtrgGraphAttentionLayer(nn.Module):
         x2: jax.Array,
         master: Optional[jax.Array] = None,
         train: bool = False,
+        freeze_bn: bool = False,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         n1, n2 = x1.shape[1], x2.shape[1]
         x1 = nn.Dense(self.in_dim, name="proj_type1")(x1)
@@ -115,7 +116,7 @@ class HtrgGraphAttentionLayer(nn.Module):
         out = nn.Dense(self.out_dim, name="proj_with_att")(mixed) + nn.Dense(
             self.out_dim, name="proj_without_att"
         )(x)
-        out = _batch_norm_nodes(out, train, "bn")
+        out = _batch_norm_nodes(out, train, "bn", freeze_bn)
         out = jax.nn.selu(out)
         return out[:, :n1], out[:, n1:], master
 

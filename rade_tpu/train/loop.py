@@ -52,7 +52,13 @@ class Experiment:
         self.cfg = cfg
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = build_model(dict(cfg.model_config))
+        model_config = dict(cfg.model_config)
+        # the reference injects LoRA post-hoc (apply_lora_to_wavlm,
+        # src/main.py:103-158); here LoRA params are part of the module
+        if cfg.training.use_lora and "lora_r" not in model_config:
+            model_config["lora_r"] = cfg.training.lora_r
+            model_config["lora_alpha"] = cfg.training.lora_alpha
+        self.model = build_model(model_config)
         self.nb_samp = int(cfg.model_config.get("nb_samp", 64600))
         self.rng = jax.random.PRNGKey(seed)
 
@@ -78,8 +84,19 @@ class Experiment:
         frozen = ()
         if cfg.training.freeze_sincnet:
             frozen = frozen + ("sinc_stream",)
+        if "wavlm_stream" in model_params:
+            from rade_tpu.nn.wavlm import wavlm_frozen_paths
+
+            frozen = frozen + wavlm_frozen_paths(
+                int(cfg.model_config.get("wavlm_freeze_layers", 18)),
+                use_lora=cfg.training.use_lora,
+            )
+        always = ["lora_", "layer_weights"]
+        if cfg.training.use_fgm and cfg.training.fgm_emb_name:
+            # FGM targets are explicitly unfrozen (reference main.py:516-544)
+            always.append(cfg.training.fgm_emb_name)
         self.trainable_mask = (
-            make_trainable_mask(self.params, frozen) if frozen else None
+            make_trainable_mask(self.params, frozen, tuple(always)) if frozen else None
         )
 
         self.eval_step = jax.jit(make_eval_step(self.model, cfg))

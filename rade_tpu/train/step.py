@@ -78,11 +78,10 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
             x_in, y_a, y_b = x, y, y
 
         variables = {"params": params["model"], "batch_stats": batch_stats}
-        mutable = [] if tc.freeze_bn else ["batch_stats"]
-        bn_train = not tc.freeze_bn
+        mutable = False if tc.freeze_bn else ["batch_stats"]
         out = model.apply(
             variables, x_in,
-            train=True, freq_aug=cfg.freq_aug,
+            train=True, freq_aug=cfg.freq_aug, freeze_bn=tc.freeze_bn,
             rngs=rngs, mutable=mutable,
         )
         if mutable:
