@@ -34,13 +34,14 @@ def main() -> None:
         x = jax.numpy.tile(x, (max(1, target_bs // batch), 1))[:target_bs]
         batch = x.shape[0]
 
-    # compile + warmup
-    fwd(variables, x).block_until_ready()
+    # compile + warmup — np.asarray is a hard fence (device->host readback);
+    # on the axon relay, block_until_ready acks enqueue rather than completion
+    np.asarray(fwd(variables, x))
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fwd(variables, x)
-    out.block_until_ready()
+    np.asarray(out)  # fence: forces all queued executions to finish
     dt = time.perf_counter() - t0
 
     utt_per_sec = n_iters * batch / dt
@@ -49,7 +50,7 @@ def main() -> None:
             {
                 "metric": "inference_throughput_utt_per_sec_per_chip",
                 "value": round(utt_per_sec, 2),
-                "unit": "utt/s/chip (bs=32, 64600 samples)",
+                "unit": f"utt/s/chip (bs={batch}, 64600 samples)",
                 "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
             }
         )

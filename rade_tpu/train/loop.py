@@ -107,6 +107,72 @@ class Experiment:
         self.tx = None
         self.train_step = None
 
+        if cfg.pretrained_weights and Path(cfg.pretrained_weights).exists():
+            self.load_weights(cfg.pretrained_weights, strict=False)
+
+    def load_weights(self, path, strict: bool = True) -> None:
+        """Warm-start from a checkpoint of params(+stats).
+
+        strict=False mirrors the reference's `load_state_dict(strict=False)`
+        (`src/main.py:245-258`): only structurally-matching leaves load.
+        """
+        from rade_tpu.train.checkpoint import restore_state
+
+        template = {
+            "model": self.params["model"],
+            "loss": self.params["loss"],
+            "batch_stats": self.batch_stats,
+        }
+        try:
+            restored = restore_state(path, template)
+        except Exception:
+            if strict:
+                raise
+            return
+        self.params = {"model": restored["model"], "loss": restored["loss"]}
+        self.batch_stats = restored["batch_stats"]
+
+    def bn_update(self, batcher, n_batches: Optional[int] = None) -> None:
+        """Recompute BN running stats over the train set (torch `bn_update`).
+
+        Extracts exact per-batch statistics from flax's EMA update
+        (batch_stat = (new - m*old) / (1-m)) and cumulative-averages them,
+        matching torchcontrib's SWA bn_update used at `src/main.py:671-673`.
+        """
+        import jax
+
+        model = self.model
+        params = self.state.params if self.state is not None else self.params
+        momentum = 0.99  # flax BatchNorm default
+        rng = jax.random.fold_in(self.rng, 99)
+        acc = None
+        count = 0
+        for i, (xb, yb) in enumerate(batcher.epoch(0)):
+            if n_batches is not None and i >= n_batches:
+                break
+            cur = self.state.batch_stats if self.state is not None else self.batch_stats
+            _, upd = model.apply(
+                {"params": params["model"], "batch_stats": cur},
+                jnp.asarray(xb), train=True,
+                rngs={"dropout": rng, "freq_aug": rng},
+                mutable=["batch_stats"],
+            )
+            batch_stat = jax.tree.map(
+                lambda new, old: (new - momentum * old) / (1.0 - momentum),
+                upd["batch_stats"], cur,
+            )
+            acc = batch_stat if acc is None else jax.tree.map(
+                jnp.add, acc, batch_stat
+            )
+            count += 1
+        if acc is None:
+            return
+        fresh = jax.tree.map(lambda s: s / count, acc)
+        if self.state is not None:
+            self.state = self.state.replace(batch_stats=fresh)
+        else:
+            self.batch_stats = fresh
+
     # ------------------------------------------------------------------ setup
     def setup_training(self, steps_per_epoch: int) -> TrainState:
         cfg = self.cfg
@@ -166,7 +232,17 @@ class Experiment:
 
     # ---------------------------------------------------------------- running
     def train_one_epoch(self, batcher: TrainBatcher, epoch: int) -> float:
-        """Group micro-batches into macro-batches of `accum` and step."""
+        """Group micro-batches into macro-batches of `accum` and step.
+
+        Profiling: set RADE_PROFILE_DIR to capture a jax.profiler trace of
+        this epoch's first few steps (tracing parity — SURVEY.md §5; the
+        reference has no profiler at all).
+        """
+        import os
+
+        profile_dir = os.environ.get("RADE_PROFILE_DIR")
+        if profile_dir and epoch == 0:
+            jax.profiler.start_trace(profile_dir)
         accum = max(1, self.cfg.training.accumulation_steps)
         losses = []
         micro_iter = prefetch(batcher.epoch(epoch), depth=4)
@@ -183,6 +259,9 @@ class Experiment:
         # trailing partial group (< accum micro-batches) is dropped; the
         # reference takes a partial optimizer step there instead — at most
         # accum-1 micro-batches per epoch differ.
+        if profile_dir and epoch == 0:
+            jax.tree.map(lambda x: x.block_until_ready(), self.state.params)
+            jax.profiler.stop_trace()
         if not losses:
             return float("nan")
         return float(np.mean(jax.device_get(losses)))
@@ -274,17 +353,66 @@ def run_training(
         if epoch % 10 == 0:
             weights.save_periodic(exp.state, epoch)
 
-    # final: SWA swap + eval (reference `main.py:671-687`)
+        # optional per-attack diagnostics on the full eval set
+        # (reference `main.py:577-600`, eval_diag_interval)
+        diag = cfg.training.eval_diag_interval
+        if diag and epoch % diag == 0:
+            from rade_tpu.tools.analyze_breakdown import breakdown
+
+            diag_score = metrics_dir / f"diag_eval_ep{epoch}.txt"
+            exp.score_split(evl, eval_proto, diag_score)
+            _, per_attack = breakdown(str(diag_score))
+            worst = {k: v[0] for k, v in per_attack.items() if k in ("A17", "A18", "A19")}
+            log_fn(f"  diag per-attack EER: {worst}")
+
+    # final: SWA swap + BN update + eval (reference `main.py:671-687`)
     if cfg.training.use_swa and exp.state.swa_params is not None:
         weights.save_named(exp.state, "swa")
-        swa_state = exp.state.replace(params=exp.state.swa_params, ema_params=None)
-        exp.state = swa_state
+        exp.state = exp.state.replace(params=exp.state.swa_params, ema_params=None)
+        exp.bn_update(trn, n_batches=min(len(trn), 50))
         final_score = run_dir / ("swa_" + cfg.eval_output)
         exp.score_split(evl, eval_proto, final_score, use_ema=False)
         swa_eer, swa_tdcf = calculate_tdcf_eer(
             str(final_score), asv_path, str(metrics_dir / "t-DCF_EER_swa.txt"), printout=False
         )
         log_fn(f"SWA eval_eer {swa_eer:.3f}% eval_tdcf {swa_tdcf:.5f}")
+
+    # optional cross-domain 2021-DF auto-eval (reference `main.py:698-796`,
+    # which calls a module the reference ships without)
+    if (
+        cfg.auto_eval_2021_df
+        and cfg.database_path_2021
+        and Path(cfg.database_path_2021).exists()
+    ):
+        try:
+            from rade_tpu.data.datasets import EvalDataset
+            from rade_tpu.data.protocols import parse_protocol_2021
+            from rade_tpu.evaluate.eval2021 import write_codec_breakdown_report
+            from rade_tpu.evaluate.scorer import produce_evaluation_file_2021
+
+            db21 = Path(cfg.database_path_2021)
+            trial21 = db21 / "ASVspoof2021.DF.cm.eval.trl.txt"
+            files21 = (
+                parse_protocol_2021(trial21)
+                if trial21.exists()
+                else parse_protocol_2021(cfg.key_file_2021)
+            )
+            ds21 = EvalDataset(files21, db21, cut=exp.nb_samp, zero_pad_on_error=True)
+            from rade_tpu.data.pipeline import EvalBatcher as _EB
+
+            score21 = run_dir / "eval_2021df_scores.txt"
+            produce_evaluation_file_2021(
+                exp.eval_step, exp.state.eval_params, exp.state.batch_stats,
+                _EB(ds21, cfg.test.batch_size), files21, score21,
+            )
+            if cfg.key_file_2021 and Path(cfg.key_file_2021).exists():
+                eer21 = write_codec_breakdown_report(
+                    str(score21), cfg.key_file_2021,
+                    str(run_dir / "report_2021df_codec.md"),
+                )
+                log_fn(f"2021-DF EER {eer21:.3f}%")
+        except Exception as e:  # cross-domain eval is best-effort, like the reference
+            log_fn(f"2021-DF auto-eval failed: {e}")
 
     metric_log.close()
     return {

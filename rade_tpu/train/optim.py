@@ -96,6 +96,70 @@ def make_optimizer(
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
 
 
+def legacy_schedule(optim_cfg: OptimConfig) -> optax.Schedule:
+    """The reference's `create_optimizer` scheduler family
+    (`/root/reference/src/utils.py:40-133`): multistep / sgdr (warm restarts) /
+    cosine (LambdaLR form) / keras_decay, for legacy baseline configs."""
+    name = optim_cfg.scheduler
+    base_lr = optim_cfg.base_lr
+    sc = optim_cfg.scheduler_config
+
+    if name == "multistep":
+        milestones = sorted(sc.get("milestones", []))
+        gamma = float(sc.get("lr_decay", 0.1))
+
+        def sched(step):
+            step = jnp.asarray(step)
+            n_passed = sum(jnp.where(step >= m, 1.0, 0.0) for m in milestones)
+            return base_lr * gamma**n_passed
+
+        return sched
+
+    if name == "sgdr":
+        t0 = float(sc.get("T0", optim_cfg.steps_per_epoch or 1))
+        t_mul = float(sc.get("Tmult", 2.0))
+        eta_min = float(optim_cfg.lr_min)
+
+        def sched(step):
+            # find the warm-restart period containing `step` (bounded search)
+            remaining = jnp.asarray(step, jnp.float32)
+            ti_now = jnp.float32(t0)
+            lr = jnp.float32(base_lr)
+            done = jnp.bool_(False)
+            for _ in range(32):
+                inside = jnp.logical_and(~done, remaining < ti_now)
+                frac = jnp.clip(remaining / ti_now, 0.0, 1.0)
+                lr = jnp.where(
+                    inside,
+                    eta_min + (base_lr - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * frac)),
+                    lr,
+                )
+                advance = jnp.logical_and(~done, ~inside)
+                remaining = jnp.where(advance, remaining - ti_now, remaining)
+                ti_now = jnp.where(advance, ti_now * t_mul, ti_now)
+                done = jnp.logical_or(done, inside)
+            return lr
+
+        return sched
+
+    if name == "keras_decay":
+        decay = float(sc.get("decay", 1e-4))
+        return lambda step: base_lr / (1.0 + decay * jnp.asarray(step, jnp.float32))
+
+    # 'cosine' (LambdaLR form, `utils.py:40-44`): lr_min absolute floor
+    total = max(1, optim_cfg.epochs * max(1, optim_cfg.steps_per_epoch))
+    lr_min = optim_cfg.lr_min
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        factor = (lr_min / base_lr) + (1 - lr_min / base_lr) * 0.5 * (
+            1 + jnp.cos(step / total * jnp.pi)
+        )
+        return base_lr * factor
+
+    return sched
+
+
 def make_trainable_mask(
     params: Dict[str, Any],
     frozen_path_substrings: tuple = (),
