@@ -110,13 +110,16 @@ class DataConfig:
     use_codec_aug: bool = False
     codec_p: float = 0.5
     custom_train_protocol: Optional[str] = None
+    # TPU-native extension: run RawBoost/codec as jnp inside the train step
+    # (fused on-device batches) instead of per-sample host numpy/scipy
+    on_device_aug: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DataConfig":
         d = _drop_comments(d)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        for key in ("use_rawboost", "use_codec_aug"):
+        for key in ("use_rawboost", "use_codec_aug", "on_device_aug"):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])
         return cls(**kwargs)

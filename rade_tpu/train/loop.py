@@ -213,10 +213,13 @@ class Experiment:
         dev_labels, dev_files = parse_protocol_labeled(dev_proto)
         eval_files = parse_protocol_eval(eval_proto)
 
-        algo = cfg.data.rawboost_algo if cfg.data.use_rawboost else 0
+        # with on-device augmentation the host pipeline serves clean audio
+        # and the jit'd step applies RawBoost/codec on the TPU
+        host_aug = not cfg.data.on_device_aug
+        algo = cfg.data.rawboost_algo if (cfg.data.use_rawboost and host_aug) else 0
         train_ds = TrainDataset(
             train_files, labels, db / f"ASVspoof2019_{track}_train",
-            algo=algo, use_codec=cfg.data.use_codec_aug,
+            algo=algo, use_codec=cfg.data.use_codec_aug and host_aug,
             codec_p=cfg.data.codec_p, rawboost_p=cfg.data.rawboost_p,
             cut=self.nb_samp, seed=self.seed,
         )

@@ -67,6 +67,10 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
 
     def loss_fn(params, batch_stats, x, y, rngs, mixup_rng):
         n_cls = 2
+        if cfg.data.on_device_aug:
+            from rade_tpu.augment.rawboost_jax import augment_batch
+
+            x = augment_batch(rngs["aug"], x, cfg.data)
         if tc.use_mixup and x.shape[0] > 1:
             k_lam, k_perm = jax.random.split(mixup_rng)
             lam = jax.random.beta(k_lam, tc.mixup_alpha, tc.mixup_alpha)
@@ -112,8 +116,8 @@ def make_train_step(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def micro_step(params, batch_stats, x, y, rng):
-        rng, k_drop, k_freq, k_mix, k_drop2, k_freq2 = jax.random.split(rng, 6)
-        rngs = {"dropout": k_drop, "freq_aug": k_freq}
+        rng, k_drop, k_freq, k_mix, k_drop2, k_freq2, k_aug = jax.random.split(rng, 7)
+        rngs = {"dropout": k_drop, "freq_aug": k_freq, "aug": k_aug}
         (loss, (batch_stats, _)), grads = grad_fn(
             params, batch_stats, x, y, rngs, k_mix
         )
@@ -126,7 +130,8 @@ def make_train_step(
                 return p + m * delta
 
             params_adv = jax.tree.map(perturb, params, fmask, grads)
-            rngs_adv = {"dropout": k_drop2, "freq_aug": k_freq2}
+            # same aug key: FGM attacks the same (augmented, mixed) batch
+            rngs_adv = {"dropout": k_drop2, "freq_aug": k_freq2, "aug": k_aug}
             (adv_loss, (batch_stats, _)), adv_grads = grad_fn(
                 params_adv, batch_stats, x, y, rngs_adv, k_mix
             )
