@@ -86,6 +86,9 @@ class TrainingConfig:
     mixup_alpha: float = 1.0
     eval_diag_interval: int = 0
     grad_clip_norm: float = 3.0
+    # TPU-native extension: bf16 compute with f32 master weights/optimizer
+    # (replaces the reference's AMP fp16 + GradScaler; bf16 needs no scaler)
+    mixed_precision: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
@@ -95,7 +98,7 @@ class TrainingConfig:
         for key in (
             "use_ocsoftmax", "use_supcon", "use_lora", "use_focal_loss",
             "freeze_bn", "freeze_sincnet", "use_ema", "use_swa", "use_fgm",
-            "use_mixup",
+            "use_mixup", "mixed_precision",
         ):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])

@@ -35,6 +35,14 @@ from .optim import apply_mask
 from .state import TrainState
 
 
+def cast_tree(tree, dtype):
+    """Cast float leaves (params/stats/inputs) to the compute dtype."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def _fgm_mask(params, emb_name: str):
     def match(path, _):
         keys = "/".join(str(getattr(k, "key", getattr(k, "name", ""))) for k in path)
@@ -81,7 +89,13 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
             lam = jnp.float32(1.0)
             x_in, y_a, y_b = x, y, y
 
-        variables = {"params": params["model"], "batch_stats": batch_stats}
+        model_params = params["model"]
+        if tc.mixed_precision:
+            # bf16 compute, f32 master weights: the cast is inside the graph,
+            # so grads land on the f32 params (no loss scaler needed for bf16)
+            model_params = cast_tree(model_params, jnp.bfloat16)
+            x_in = x_in.astype(jnp.bfloat16)
+        variables = {"params": model_params, "batch_stats": batch_stats}
         mutable = False if tc.freeze_bn else ["batch_stats"]
         out = model.apply(
             variables, x_in,
@@ -90,10 +104,13 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
         )
         if mutable:
             (feats, logits), updates = out
-            new_bs = updates["batch_stats"]
+            # keep running stats in f32 across scan iterations
+            new_bs = cast_tree(updates["batch_stats"], jnp.float32)
         else:
             feats, logits = out
             new_bs = batch_stats
+        feats = feats.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
 
         t_a = jax.nn.one_hot(y_a, n_cls, dtype=logits.dtype)
         t_b = jax.nn.one_hot(y_b, n_cls, dtype=logits.dtype)
@@ -198,10 +215,17 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
     use (`/root/reference/src/main.py:978-984`).
     """
     use_oc = cfg.training.use_ocsoftmax
+    use_bf16 = cfg.training.mixed_precision
 
     def eval_step(params, batch_stats, x):
-        variables = {"params": params["model"], "batch_stats": batch_stats}
+        model_params = params["model"]
+        if use_bf16:
+            model_params = cast_tree(model_params, jnp.bfloat16)
+            x = x.astype(jnp.bfloat16)
+        variables = {"params": model_params, "batch_stats": batch_stats}
         feats, logits = model.apply(variables, x, train=False)
+        feats = feats.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
         if use_oc:
             return L.ocsoftmax_scores(params["loss"], feats)
         return logits[:, 1]
