@@ -10,3 +10,13 @@ EER + t-DCF scoring.
 """
 
 __version__ = "0.1.0"
+
+# Platform override: RADE_PLATFORM=cpu forces the CPU backend even when the
+# environment pins JAX_PLATFORMS elsewhere (this image's sitecustomize pins
+# the axon TPU relay, which CLI subprocesses can't always reach).
+import os as _os
+
+if _os.environ.get("RADE_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RADE_PLATFORM"])

@@ -126,6 +126,7 @@ class DualStreamSEMamba(nn.Module):
     se_reduction: int = 16
     wavlm_cfg: WavLMConfig = dataclasses.field(default_factory=WavLMConfig.large)
     use_pallas_scan: bool = False
+    wavlm_weighting: str = "softmax"  # or 'sls' per-sample layer attention
 
     @classmethod
     def from_config(cls, model_config: Dict[str, Any]) -> "DualStreamSEMamba":
@@ -150,6 +151,7 @@ class DualStreamSEMamba(nn.Module):
             se_reduction=int(model_config.get("se_reduction", 16)),
             wavlm_cfg=wcfg,
             use_pallas_scan=bool(model_config.get("use_pallas_scan", False)),
+            wavlm_weighting=str(model_config.get("wavlm_weighting", "softmax")),
         )
 
     @nn.compact
@@ -157,7 +159,9 @@ class DualStreamSEMamba(nn.Module):
         self, x: jax.Array, train: bool = False, freq_aug: bool = False,
         freeze_bn: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
-        f_wavlm = WavLMFrontend(self.wavlm_cfg, name="wavlm_stream")(x, train)
+        f_wavlm = WavLMFrontend(
+            self.wavlm_cfg, weighting=self.wavlm_weighting, name="wavlm_stream"
+        )(x, train)
         f_sinc = SincNetEncoder(self.sinc_channels, name="sinc_stream")(
             x, train, freq_aug, freeze_bn
         )

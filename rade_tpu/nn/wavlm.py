@@ -314,11 +314,19 @@ class WavLMFrontend(nn.Module):
     """
 
     cfg: WavLMConfig
+    weighting: str = "softmax"  # 'softmax' (global learnable) | 'sls' (per-sample)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         _, hidden = WavLMModel(self.cfg, name="model")(x, train)
         stack = jnp.stack(hidden, axis=0)  # (N+1, B, T, E)
+        if self.weighting == "sls":
+            # SLS pattern (reference `fake_mamba_model.py:286-302` getAttenF):
+            # per-sample attention over layer outputs from time-pooled summaries
+            pooled = jnp.mean(stack, axis=2)  # (L, B, E)
+            scores = nn.Dense(1, name="layer_attention")(pooled)[..., 0]  # (L, B)
+            w = jax.nn.softmax(scores, axis=0)
+            return jnp.einsum("lb,lbte->bte", w, stack)
         weights = self.param(
             "layer_weights",
             nn.initializers.ones,
