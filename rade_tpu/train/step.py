@@ -190,9 +190,15 @@ def make_train_step(
         ema_params = state.ema_params
         if ema_params is not None:
             d = tc.ema_decay
-            ema_params = jax.tree.map(
-                lambda e, p: d * e + (1.0 - d) * p, ema_params, params
-            )
+            # reference EMA wraps the model only; loss params (OC-Softmax
+            # center) stay live for scoring (torch AveragedModel(model))
+            ema_params = {
+                "model": jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    ema_params["model"], params["model"],
+                ),
+                "loss": params.get("loss", {}),
+            }
 
         new_state = state.replace(
             params=params,
