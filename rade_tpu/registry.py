@@ -50,6 +50,7 @@ _BUILTIN = {
     "DualStreamSEMamba": ("rade_tpu.models.dual_stream_se_mamba", "DualStreamSEMamba"),
     "MoEMambaASV": ("rade_tpu.models.moe_mamba", "MoEMambaASV"),
     "XLSRMamba": ("rade_tpu.models.xlsr_mamba", "XLSRMamba"),
+    "XLSRConformer": ("rade_tpu.models.xlsr_conformer", "XLSRConformer"),
 }
 
 
