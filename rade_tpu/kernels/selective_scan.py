@@ -85,10 +85,12 @@ def selective_scan(u, dt, A, Bm, Cm, Dp):
 def _scan_kernel(u_ref, dt_ref, a_t_ref, b_ref, c_ref, dpar_ref, y_ref, h_carry, chunk: int):
     """One (batch, chunk) grid step.
 
-    Refs (VMEM): u/dt (chunk, D), a_t = A^T (N, D), b/c (chunk, N),
-    y (chunk, D); scratch h_carry (N, D) persists across the chunk axis.
+    Refs (VMEM): u/dt/y (chunk, D) with D padded to the 128-lane tiling;
+    a_t = A^T (N, D); b/c (N, chunk) (transposed so the lane axis is the
+    chunk, which is 128-aligned); scratch h_carry (N, D) persists across the
+    chunk grid axis.
     """
-    ci = pl.program_id(1)
+    ci = pl.program_id(2)  # chunk axis is the innermost grid dim
 
     @pl.when(ci == 0)
     def _():
@@ -97,8 +99,8 @@ def _scan_kernel(u_ref, dt_ref, a_t_ref, b_ref, c_ref, dpar_ref, y_ref, h_carry,
     u = u_ref[:].astype(jnp.float32)  # (L, D)
     dt = dt_ref[:].astype(jnp.float32)
     at = a_t_ref[:].astype(jnp.float32)  # (N, D)
-    bm = b_ref[:].astype(jnp.float32)  # (L, N)
-    cm = c_ref[:].astype(jnp.float32)
+    bm = b_ref[:].astype(jnp.float32).T  # (N, L) -> (L, N)
+    cm = c_ref[:].astype(jnp.float32).T
 
     # discretize in fp32: a (L, N, D), b (L, N, D)
     a = jnp.exp(dt[:, None, :] * at[None])
@@ -126,24 +128,31 @@ def _scan_kernel(u_ref, dt_ref, a_t_ref, b_ref, c_ref, dpar_ref, y_ref, h_carry,
 def _selective_scan_pallas_fwd_impl(u, dt, A, Bm, Cm, Dp, chunk: int):
     bsz, L, D = u.shape
     N = A.shape[1]
-    # pad L up to a multiple of chunk
+    # Mosaic tiling: last block dim must be a multiple of 128 lanes,
+    # second-to-last a multiple of 8 sublanes. Pad L to the chunk (chunk is a
+    # power of two >= 128), pad D to 128, and transpose B/C so their lane
+    # axis is the chunk.
+    D_TILE = 128
     Lp = -(-L // chunk) * chunk
-    if Lp != L:
-        pad = [(0, 0), (0, Lp - L), (0, 0)]
-        u_p = jnp.pad(u, pad)
-        dt_p = jnp.pad(dt, pad)
-        Bm_p = jnp.pad(Bm, pad)
-        Cm_p = jnp.pad(Cm, pad)
-    else:
-        u_p, dt_p, Bm_p, Cm_p = u, dt, Bm, Cm
+    Dp_pad = -(-D // D_TILE) * D_TILE
+    Np = -(-N // 8) * 8
+    u_p = jnp.pad(u, [(0, 0), (0, Lp - L), (0, Dp_pad - D)])
+    dt_p = jnp.pad(dt, [(0, 0), (0, Lp - L), (0, Dp_pad - D)])
+    Bm_p = jnp.pad(Bm, [(0, 0), (0, Lp - L), (0, Np - N)]).transpose(0, 2, 1)
+    Cm_p = jnp.pad(Cm, [(0, 0), (0, Lp - L), (0, Np - N)]).transpose(0, 2, 1)
+    At_p = jnp.pad(A.T, [(0, Np - N), (0, Dp_pad - D)])
+    D_p = jnp.pad(Dp, [(0, Dp_pad - D)])[None, :]  # (1, D_pad)
     n_chunks = Lp // chunk
+    n_dtiles = Dp_pad // D_TILE
 
-    grid = (bsz, n_chunks)
+    # grid: (batch, d-tile, chunk) — chunk innermost so the per-(b, d-tile)
+    # carry in scratch stays valid across sequential chunk steps
+    grid = (bsz, n_dtiles, n_chunks)
     ld_spec = pl.BlockSpec(
-        (1, chunk, D), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+        (1, chunk, D_TILE), lambda b, d, c: (b, c, d), memory_space=pltpu.VMEM
     )
-    ln_spec = pl.BlockSpec(
-        (1, chunk, N), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+    nl_spec = pl.BlockSpec(
+        (1, Np, chunk), lambda b, d, c: (b, 0, c), memory_space=pltpu.VMEM
     )
 
     def kernel(u_r, dt_r, at_r, b_r, c_r, d_r, y_r, h_carry):
@@ -154,20 +163,20 @@ def _selective_scan_pallas_fwd_impl(u, dt, A, Bm, Cm, Dp, chunk: int):
 
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, Lp, D), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, Lp, Dp_pad), u.dtype),
         grid=grid,
         in_specs=[
             ld_spec,
             ld_spec,
-            pl.BlockSpec((N, D), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-            ln_spec,
-            ln_spec,
-            pl.BlockSpec((D,), lambda b, c: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, D_TILE), lambda b, d, c: (0, d), memory_space=pltpu.VMEM),
+            nl_spec,
+            nl_spec,
+            pl.BlockSpec((1, D_TILE), lambda b, d, c: (0, d), memory_space=pltpu.VMEM),
         ],
         out_specs=ld_spec,
-        scratch_shapes=[pltpu.VMEM((N, D), jnp.float32)],
-    )(u_p, dt_p, A.T, Bm_p, Cm_p, Dp)
-    return y[:, :L]
+        scratch_shapes=[pltpu.VMEM((Np, D_TILE), jnp.float32)],
+    )(u_p, dt_p, At_p, Bm_p, Cm_p, D_p)
+    return y[:, :L, :D]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
