@@ -38,6 +38,8 @@ class SincNetEncoder(nn.Module):
 
     sinc_channels: int = 70
     sinc_kernel: int = 128
+    remat: bool = False  # checkpoint the conv blocks: their (B,H,W,C)
+    # activations at full audio rate are the largest tensors in the model
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, freq_aug: bool = False,
@@ -51,8 +53,9 @@ class SincNetEncoder(nn.Module):
         e = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="first_bn")(e)
         e = jax.nn.selu(e)
         specs = [filts[1], filts[2], filts[3], filts[4], filts[4], filts[4]]
+        block_cls = nn.remat(ResBlock2D, static_argnums=(2, 3)) if self.remat else ResBlock2D
         for i, (c_in, c_out) in enumerate(specs):
-            e = ResBlock2D(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train, freeze_bn)
+            e = block_cls(c_in, c_out, first=(i == 0), name=f"encoder_{i}")(e, train, freeze_bn)
         # temporal readout: max |.| over the spectral axis -> (B, T', C)
         return jnp.max(jnp.abs(e), axis=1)
 
@@ -127,6 +130,7 @@ class DualStreamSEMamba(nn.Module):
     wavlm_cfg: WavLMConfig = dataclasses.field(default_factory=WavLMConfig.large)
     use_pallas_scan: bool = False
     wavlm_weighting: str = "softmax"  # or 'sls' per-sample layer attention
+    sinc_remat: bool = False
 
     @classmethod
     def from_config(cls, model_config: Dict[str, Any]) -> "DualStreamSEMamba":
@@ -152,6 +156,7 @@ class DualStreamSEMamba(nn.Module):
             wavlm_cfg=wcfg,
             use_pallas_scan=bool(model_config.get("use_pallas_scan", False)),
             wavlm_weighting=str(model_config.get("wavlm_weighting", "softmax")),
+            sinc_remat=bool(model_config.get("sinc_remat", False)),
         )
 
     @nn.compact
@@ -162,9 +167,9 @@ class DualStreamSEMamba(nn.Module):
         f_wavlm = WavLMFrontend(
             self.wavlm_cfg, weighting=self.wavlm_weighting, name="wavlm_stream"
         )(x, train)
-        f_sinc = SincNetEncoder(self.sinc_channels, name="sinc_stream")(
-            x, train, freq_aug, freeze_bn
-        )
+        f_sinc = SincNetEncoder(
+            self.sinc_channels, remat=self.sinc_remat, name="sinc_stream"
+        )(x, train, freq_aug, freeze_bn)
         h = DualStreamFusion(self.emb_size, self.se_reduction, name="fusion")(
             f_wavlm, f_sinc, train
         )

@@ -58,7 +58,16 @@ class Experiment:
         if cfg.training.use_lora and "lora_r" not in model_config:
             model_config["lora_r"] = cfg.training.lora_r
             model_config["lora_alpha"] = cfg.training.lora_alpha
-        self.model = build_model(model_config)
+        # the Pallas scan's custom VJP re-derives gradients through the
+        # associative scan, so in training it only adds work: train with the
+        # associative path, score with the Pallas kernel
+        train_config = {**model_config, "use_pallas_scan": False}
+        self.model = build_model(train_config)
+        self.eval_model = (
+            build_model(model_config)
+            if model_config.get("use_pallas_scan")
+            else self.model
+        )
         self.nb_samp = int(cfg.model_config.get("nb_samp", 64600))
         self.rng = jax.random.PRNGKey(seed)
 
@@ -99,7 +108,7 @@ class Experiment:
             make_trainable_mask(self.params, frozen, tuple(always)) if frozen else None
         )
 
-        self.eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self.eval_step = jax.jit(make_eval_step(self.eval_model, cfg))
         self._batch_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
         self._eval_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
@@ -179,9 +188,14 @@ class Experiment:
         accum = max(1, cfg.training.accumulation_steps)
         total_steps = cfg.num_epochs * steps_per_epoch
         self.tx = make_optimizer(
-            cfg.optim, cfg.training, total_steps, cfg.training.grad_clip_norm
+            cfg.optim, cfg.training, total_steps, cfg.training.grad_clip_norm,
+            trainable_mask=self.trainable_mask,
         )
-        self.train_step = jax.jit(make_train_step(self.model, cfg, self.tx))
+        # donate the state: old params/EMA/opt buffers are reused in place,
+        # halving peak state memory on the chip
+        self.train_step = jax.jit(
+            make_train_step(self.model, cfg, self.tx), donate_argnums=(0,)
+        )
         replicated = NamedSharding(self.mesh, P())
         state = TrainState.create(
             params=self.params,
@@ -270,8 +284,11 @@ class Experiment:
         return float(np.mean(jax.device_get(losses)))
 
     def score_split(self, batcher: EvalBatcher, trial_path, out_path, use_ema=True):
-        params = self.state.eval_params if (use_ema and self.state is not None) else self.params
-        batch_stats = self.state.batch_stats if self.state is not None else self.batch_stats
+        if self.state is not None:
+            params = self.state.eval_params if use_ema else self.state.params
+            batch_stats = self.state.batch_stats
+        else:
+            params, batch_stats = self.params, self.batch_stats
         produce_evaluation_file(
             self.eval_step, params, batch_stats, batcher, trial_path, out_path,
             put_batch=lambda x: jax.device_put(x, self._eval_sharding),

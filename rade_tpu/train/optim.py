@@ -63,8 +63,15 @@ def make_optimizer(
     training_cfg: TrainingConfig,
     total_optimizer_steps: int,
     grad_clip_norm: float = 3.0,
+    trainable_mask=None,
 ) -> optax.GradientTransformation:
-    """AdamW with differential LR groups and warmup+cosine schedules."""
+    """AdamW with differential LR groups and warmup+cosine schedules.
+
+    `trainable_mask` (1/0 pytree) wraps the update in `optax.masked` so
+    frozen params (e.g. the 315M-param WavLM base under LoRA) carry NO adam
+    moments — that's 2x the base model in HBM saved versus allocating state
+    for parameters that never move.
+    """
     eta_min = float(
         optim_cfg.scheduler_config.get("eta_min", optim_cfg.lr_min)
     )
@@ -93,6 +100,9 @@ def make_optimizer(
         {"backbone": group(optim_cfg.base_lr), "wavlm": group(wavlm_lr)},
         wavlm_label_fn,
     )
+    if trainable_mask is not None:
+        bool_mask = jax.tree.map(lambda m: bool(m > 0), trainable_mask)
+        tx = optax.masked(tx, bool_mask)
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
 
 
