@@ -19,7 +19,7 @@ bit-exact host reference used by its tests.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from scipy import signal as sps

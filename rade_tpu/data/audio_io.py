@@ -11,10 +11,9 @@ downstream augmentation numerics match the reference.
 
 from __future__ import annotations
 
-import struct
 import wave
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 

@@ -13,7 +13,7 @@ Score convention everywhere: HIGHER score => stronger bona-fide support.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

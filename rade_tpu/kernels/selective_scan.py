@@ -24,8 +24,6 @@ discretization is computed in fp32 regardless of input dtype (bf16 I/O safe).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

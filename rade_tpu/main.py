@@ -15,7 +15,6 @@ EER/min-tDCF — including the 2021 path the reference ships broken
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 from rade_tpu.config import ExperimentConfig, load_config
@@ -37,8 +36,6 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 
 def run_eval(cfg: ExperimentConfig, args) -> None:
-    import jax
-
     from rade_tpu.data.datasets import EvalDataset
     from rade_tpu.data.pipeline import EvalBatcher
     from rade_tpu.data.protocols import parse_protocol_2021, parse_protocol_eval

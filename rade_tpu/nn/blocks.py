@@ -10,7 +10,6 @@ we implement exactly that effective computation (no dead bn1 params).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 

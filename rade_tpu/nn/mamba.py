@@ -16,8 +16,6 @@ TPU-native equivalents of the `mamba_ssm` modules the reference consumes
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,13 +14,12 @@ from __future__ import annotations
 
 import argparse
 from pathlib import Path
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
 from rade_tpu.config import ExperimentConfig, load_config
 from rade_tpu.data.datasets import TrainDataset
-from rade_tpu.data.pipeline import EvalBatcher, prefetch
 from rade_tpu.data.protocols import parse_protocol_labeled
 
 

@@ -20,8 +20,6 @@ import numpy as np
 
 
 def evaluate(cfg, weights: str, meta_csv: str, audio_dir: str, out_path=None, seed=0):
-    import jax
-
     from rade_tpu.data.datasets import InTheWildDataset
     from rade_tpu.evaluate.metrics import compute_eer_minflip
     from rade_tpu.train.checkpoint import restore_state

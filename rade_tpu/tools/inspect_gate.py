@@ -16,7 +16,6 @@ import numpy as np
 
 def inspect(cfg, weights: str = "", seed: int = 0):
     import jax
-    import jax.numpy as jnp
 
     from rade_tpu.train.loop import Experiment
 

@@ -9,10 +9,9 @@ reference: EER-stamped best files with old-best deletion, periodic
 
 from __future__ import annotations
 
-import os
 import re
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 from flax import serialization
 
