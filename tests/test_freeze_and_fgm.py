@@ -1,0 +1,108 @@
+"""Freezing semantics (WavLM layers, LoRA, sincnet) and FGM behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rade_tpu.config import ExperimentConfig
+from rade_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from rade_tpu.train.loop import Experiment
+
+
+def _conf(training=None, model=None):
+    return ExperimentConfig.from_dict({
+        "database_path": "", "asv_score_path": "", "model_path": "",
+        "batch_size": 4, "num_epochs": 1, "loss": "CCE", "track": "LA",
+        "model_config": {
+            "architecture": "DualStreamSEMamba", "nb_samp": 6000,
+            "emb_size": 16, "num_encoders": 1, "d_state": 4,
+            "sinc_channels": 16, "wavlm_variant": "tiny", "wavlm_remat": False,
+            "wavlm_freeze_layers": -1, **(model or {}),
+        },
+        "optim_config": {"base_lr": 1e-2, "wavlm_lr": 1e-3,
+                         "scheduler": "cosine", "scheduler_config": {"eta_min": 1e-6}},
+        "training_config": {"use_mixup": False, "use_ema": False,
+                            "accumulation_steps": 1, "warmup_ratio": 0.0,
+                            **(training or {})},
+        "test_config": {"batch_size": 4},
+    })
+
+
+def _leaf(params, *path):
+    node = params
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _one_step(cfg, seed=3):
+    mesh = make_mesh(1)
+    exp = Experiment(cfg, seed=seed, mesh=mesh)
+    before = jax.device_get(exp.params)
+    exp.setup_training(steps_per_epoch=2)
+    rng = np.random.RandomState(0)
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    xs = jax.device_put(rng.randn(1, 4, 6000).astype(np.float32) * 0.1, sh)
+    ys = jax.device_put(rng.randint(0, 2, (1, 4)).astype(np.int32), sh)
+    exp.state, m = exp.train_step(exp.state, xs, ys)
+    return before, jax.device_get(exp.state.params), float(m["loss"])
+
+
+def test_lora_freezes_wavlm_base_but_trains_adapters():
+    cfg = _conf(training={"use_lora": True})
+    before, after, loss = _one_step(cfg)
+    base_b = _leaf(before["model"], "wavlm_stream", "model", "layers_0",
+                   "attention", "q_proj", "kernel")
+    base_a = _leaf(after["model"], "wavlm_stream", "model", "layers_0",
+                   "attention", "q_proj", "kernel")
+    np.testing.assert_array_equal(base_a, base_b)  # frozen base
+    lora_b = _leaf(before["model"], "wavlm_stream", "model", "layers_0",
+                   "attention", "lora_B_q_proj")
+    lora_a = _leaf(after["model"], "wavlm_stream", "model", "layers_0",
+                   "attention", "lora_B_q_proj")
+    assert not np.array_equal(lora_a, lora_b)  # adapters move
+    lw_b = _leaf(before["model"], "wavlm_stream", "layer_weights")
+    lw_a = _leaf(after["model"], "wavlm_stream", "layer_weights")
+    assert not np.array_equal(lw_a, lw_b)  # layer weighting always trains
+    assert np.isfinite(loss)
+
+
+def test_freeze_layers_policy():
+    cfg = _conf(model={"wavlm_freeze_layers": 1})
+    before, after, _ = _one_step(cfg)
+    l0_b = _leaf(before["model"], "wavlm_stream", "model", "layers_0",
+                 "attention", "q_proj", "kernel")
+    l0_a = _leaf(after["model"], "wavlm_stream", "model", "layers_0",
+                 "attention", "q_proj", "kernel")
+    np.testing.assert_array_equal(l0_a, l0_b)  # layer 0 frozen
+    l1_b = _leaf(before["model"], "wavlm_stream", "model", "layers_1",
+                 "attention", "q_proj", "kernel")
+    l1_a = _leaf(after["model"], "wavlm_stream", "model", "layers_1",
+                 "attention", "q_proj", "kernel")
+    assert not np.array_equal(l1_a, l1_b)  # layer 1 trains
+    fe_b = _leaf(before["model"], "wavlm_stream", "model", "feature_projection", "kernel")
+    fe_a = _leaf(after["model"], "wavlm_stream", "model", "feature_projection", "kernel")
+    np.testing.assert_array_equal(fe_a, fe_b)  # projection always frozen
+
+
+def test_freeze_sincnet():
+    cfg = _conf(training={"freeze_sincnet": True}, model={"wavlm_freeze_layers": -1})
+    before, after, _ = _one_step(cfg)
+    s_b = _leaf(before["model"], "sinc_stream", "encoder_0", "conv1", "kernel")
+    s_a = _leaf(after["model"], "sinc_stream", "encoder_0", "conv1", "kernel")
+    np.testing.assert_array_equal(s_a, s_b)
+
+
+def test_fgm_changes_the_update():
+    cfg_plain = _conf()
+    cfg_fgm = _conf(training={"use_fgm": True, "fgm_epsilon": 0.5,
+                              "fgm_emb_name": "feature_projection"})
+    _, after_plain, loss_p = _one_step(cfg_plain, seed=4)
+    _, after_fgm, loss_f = _one_step(cfg_fgm, seed=4)
+    head_p = _leaf(after_plain["model"], "classifier", "kernel")
+    head_f = _leaf(after_fgm["model"], "classifier", "kernel")
+    assert not np.array_equal(head_p, head_f)  # adversarial grads folded in
+    assert np.isfinite(loss_f) and loss_f >= loss_p * 0.5  # fgm loss includes 2nd pass
