@@ -61,7 +61,10 @@ class SincConv(nn.Module):
         self.bank = jnp.asarray(bank, dtype=jnp.float32)
 
     def __call__(self, x: jax.Array, freq_aug: bool = False) -> jax.Array:
-        filters = self.bank
+        # the bank is a module constant, not a param: follow the input's
+        # compute dtype (bf16 mixed precision would otherwise be promoted
+        # back to f32 here and poison the whole downstream stream)
+        filters = self.bank.astype(x.dtype)
         if freq_aug:
             rng = self.make_rng("freq_aug")
             k_a, k_s = jax.random.split(rng)
@@ -78,7 +81,7 @@ class SincConv(nn.Module):
 
         # (B, T) -> (B, 1, T); kernel (O, I, K); conv1d valid padding
         y = jax.lax.conv_general_dilated(
-            x[:, None, :].astype(filters.dtype),
+            x[:, None, :],
             filters[:, None, :],
             window_strides=(1,),
             padding="VALID",

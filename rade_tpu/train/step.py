@@ -90,12 +90,17 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
             x_in, y_a, y_b = x, y, y
 
         model_params = params["model"]
+        bs_in = batch_stats
         if tc.mixed_precision:
             # bf16 compute, f32 master weights: the cast is inside the graph,
-            # so grads land on the f32 params (no loss scaler needed for bf16)
+            # so grads land on the f32 params (no loss scaler needed for bf16).
+            # batch_stats must be cast too — f32 BN stats would promote every
+            # post-BN tensor back to f32 (profiled: the SincNet conv stack ran
+            # f32 until this cast).
             model_params = cast_tree(model_params, jnp.bfloat16)
+            bs_in = cast_tree(batch_stats, jnp.bfloat16)
             x_in = x_in.astype(jnp.bfloat16)
-        variables = {"params": model_params, "batch_stats": batch_stats}
+        variables = {"params": model_params, "batch_stats": bs_in}
         mutable = False if tc.freeze_bn else ["batch_stats"]
         out = model.apply(
             variables, x_in,
@@ -227,6 +232,7 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
         model_params = params["model"]
         if use_bf16:
             model_params = cast_tree(model_params, jnp.bfloat16)
+            batch_stats = cast_tree(batch_stats, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
         variables = {"params": model_params, "batch_stats": batch_stats}
         feats, logits = model.apply(variables, x, train=False)
