@@ -102,9 +102,13 @@ class PNBiMambaEncoder(nn.Module):
         mixer = MambaMixer(
             self.d_model, self.d_state, use_pallas=self.use_pallas, name="mamba"
         )
-        fwd = mixer(x_norm)
-        bwd = jnp.flip(mixer(jnp.flip(x_norm, axis=1)), axis=1)
-        h = nn.LayerNorm(name="norm2")(fwd + bwd)
+        # the mixer weights are shared between directions, and every op in it
+        # is batch-independent: run both directions as ONE doubled-batch call
+        # (bigger matmuls, one scan-kernel launch instead of two)
+        stacked = jnp.concatenate([x_norm, jnp.flip(x_norm, axis=1)], axis=0)
+        out = mixer(stacked)
+        fwd, bwd = jnp.split(out, 2, axis=0)
+        h = nn.LayerNorm(name="norm2")(fwd + jnp.flip(bwd, axis=1))
         h = nn.Dense(self.d_model * 4, name="ff1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_model, name="ff2")(h)
