@@ -66,6 +66,36 @@ def main():
             err = np.max(np.abs(y - y_ref))
             print(f"{name:24s} max |err| vs associative: {err:.2e}")
 
+    # training path: fwd+bwd (associative autodiff vs native Pallas backward)
+    w = jnp.asarray(rng.randn(bsz, L, D).astype(np.float32))
+    grads = {
+        "grad_associative": jax.jit(
+            jax.grad(lambda *a: jnp.sum(selective_scan(*a) * w), argnums=(0, 1, 2, 3, 4, 5))
+        ),
+        "grad_pallas(native)": jax.jit(
+            jax.grad(
+                lambda *a: jnp.sum(selective_scan_pallas(*a, 256) * w),
+                argnums=(0, 1, 2, 3, 4, 5),
+            )
+        ),
+    }
+    gref = None
+    for name, fn in grads.items():
+        try:
+            dt_s = timeit(fn, u, dt, A, Bm, Cm, Dp)
+            print(f"{name:24s} {dt_s * 1e3:8.3f} ms  (fwd+bwd)")
+            g = [np.asarray(x) for x in fn(u, dt, A, Bm, Cm, Dp)]
+            if gref is None:
+                gref = g
+            else:
+                err = max(
+                    np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+                    for a, b in zip(gref, g)
+                )
+                print(f"{name:24s} grad rel err vs associative: {err:.2e}")
+        except Exception as e:
+            print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+
 
 if __name__ == "__main__":
     main()

@@ -79,6 +79,54 @@ def test_pallas_chunk_boundary_carry():
         np.testing.assert_allclose(y_pal, y_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "bsz,L,D,N,chunk",
+    [
+        (2, 37, 24, 8, 16),   # padding in L, D, N; multiple chunks
+        (1, 32, 16, 4, 16),   # exact chunk boundary
+        (2, 10, 8, 4, 16),    # single partial chunk
+        (1, 48, 8, 4, 8),     # many chunks
+    ],
+)
+def test_pallas_backward_matches_associative_grads(bsz, L, D, N, chunk):
+    """The native Pallas backward kernel vs jax.grad of the associative scan."""
+    inputs = _rand_inputs(bsz=bsz, L=L, D=D, N=N, seed=L + D)
+    args = list(map(jnp.asarray, inputs))
+    w = jnp.asarray(
+        np.random.RandomState(7).randn(bsz, L, D).astype(np.float32)
+    )
+
+    def loss_assoc(*a):
+        return jnp.sum(selective_scan(*a) * w)
+
+    def loss_pallas(*a):
+        return jnp.sum(selective_scan_pallas(*a, chunk) * w)
+
+    g_ref = jax.grad(loss_assoc, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for name, gr, gp in zip("u dt A B C D".split(), g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_pallas_backward_bf16_io():
+    inputs = _rand_inputs(bsz=1, L=20, D=8, N=4, seed=9)
+    args = list(map(jnp.asarray, inputs))
+    args16 = [args[0].astype(jnp.bfloat16), args[1].astype(jnp.bfloat16)] + args[2:]
+
+    def loss(*a):
+        return jnp.sum(selective_scan_pallas(*a, 16).astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args16)
+    assert grads[0].dtype == jnp.bfloat16 and grads[1].dtype == jnp.bfloat16
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g, dtype=np.float32)))
+
+
 def test_associative_grad_finite():
     inputs = _rand_inputs(bsz=1, L=16, D=8, N=4, seed=3)
     args = list(map(jnp.asarray, inputs))
