@@ -24,11 +24,23 @@ class TrainBatcher:
     reference's seeded-generator DataLoader shuffle.
     """
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0, drop_last: bool = True):
+    def __init__(
+        self, dataset, batch_size: int, seed: int = 0, drop_last: bool = True,
+        process_index: int = 0, process_count: int = 1,
+    ):
+        """`batch_size` is the GLOBAL batch; with multiple processes each
+        host materializes only its `batch_size / process_count` rows of every
+        batch (identical permutation on all hosts via the shared seed)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        if batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {process_count} processes"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -38,8 +50,10 @@ class TrainBatcher:
         rng = np.random.RandomState(self.seed + 1000003 * epoch_idx)
         order = rng.permutation(len(self.dataset))
         n_batches = len(self)
+        per = self.batch_size // self.process_count
+        lo = self.process_index * per
         for b in range(n_batches):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size][lo : lo + per]
             xs, ys = zip(*(self.dataset[int(i)] for i in idxs))
             yield np.stack(xs), np.asarray(ys, dtype=np.int32)
 

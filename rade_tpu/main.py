@@ -95,6 +95,9 @@ def run_eval(cfg: ExperimentConfig, args) -> None:
 
 
 def main(argv=None) -> None:
+    from rade_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op unless RADE_COORDINATOR is set
     args = parse_args(argv)
     cfg = load_config(args.config)
     if args.model:

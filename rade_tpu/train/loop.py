@@ -58,16 +58,22 @@ class Experiment:
         if cfg.training.use_lora and "lora_r" not in model_config:
             model_config["lora_r"] = cfg.training.lora_r
             model_config["lora_alpha"] = cfg.training.lora_alpha
-        # the Pallas scan's custom VJP re-derives gradients through the
-        # associative scan, so in training it only adds work: train with the
-        # associative path, score with the Pallas kernel
-        train_config = {**model_config, "use_pallas_scan": False}
-        self.model = build_model(train_config)
-        self.eval_model = (
-            build_model(model_config)
-            if model_config.get("use_pallas_scan")
-            else self.model
-        )
+        # the Pallas scan has a native Pallas backward kernel
+        # (kernels/selective_scan.py), but at the Phase-6 sequence length
+        # (L=202, 2 chunks) the associative-scan autodiff measures faster on
+        # v5e (45 vs 57 ms fwd+bwd per fused BiMamba call) while the Pallas
+        # forward is the fastest scoring path.  Default: train on the
+        # associative scan, score with the Pallas kernel (shared params);
+        # `use_pallas_scan_training` opts training onto the native backward
+        # (wins at longer sequences, where chunking amortizes).
+        if model_config.get("use_pallas_scan") and not model_config.get(
+            "use_pallas_scan_training"
+        ):
+            self.model = build_model({**model_config, "use_pallas_scan": False})
+            self.eval_model = build_model(model_config)
+        else:
+            self.model = build_model(model_config)
+            self.eval_model = self.model
         self.nb_samp = int(cfg.model_config.get("nb_samp", 64600))
         self.rng = jax.random.PRNGKey(seed)
 
@@ -110,7 +116,14 @@ class Experiment:
 
         self.eval_step = jax.jit(make_eval_step(self.eval_model, cfg))
         self._batch_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        self._eval_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        # scoring runs on a host-LOCAL mesh: in multi-host runs each process
+        # scores the full split redundantly (params are replicated, so the
+        # local copy is addressable) — avoids cross-host gathers of scores
+        self._eval_mesh = (
+            make_mesh(devices=jax.local_devices())
+            if jax.process_count() > 1 else self.mesh
+        )
+        self._eval_sharding = NamedSharding(self._eval_mesh, P(DATA_AXIS))
 
         self.state: Optional[TrainState] = None
         self.tx = None
@@ -240,7 +253,11 @@ class Experiment:
         dev_ds = EvalDataset(dev_files, db / f"ASVspoof2019_{track}_dev", cut=self.nb_samp)
         eval_ds = EvalDataset(eval_files, db / f"ASVspoof2019_{track}_eval", cut=self.nb_samp)
         return (
-            TrainBatcher(train_ds, cfg.batch_size, seed=self.seed),
+            TrainBatcher(
+                train_ds, cfg.batch_size, seed=self.seed,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ),
             EvalBatcher(dev_ds, cfg.test.batch_size),
             EvalBatcher(eval_ds, cfg.test.batch_size),
             dev_proto,
@@ -268,8 +285,16 @@ class Experiment:
             group_x.append(xb)
             group_y.append(yb)
             if len(group_x) == accum:
-                xs = jax.device_put(np.stack(group_x), self._batch_sharding)
-                ys = jax.device_put(np.stack(group_y), self._batch_sharding)
+                from rade_tpu.parallel.multihost import shard_host_batch
+
+                gb = self.cfg.batch_size  # global micro-batch
+                xs = shard_host_batch(
+                    self._batch_sharding, np.stack(group_x),
+                    (accum, gb) + group_x[0].shape[1:],
+                )
+                ys = shard_host_batch(
+                    self._batch_sharding, np.stack(group_y), (accum, gb)
+                )
                 self.state, metrics = self.train_step(self.state, xs, ys)
                 losses.append(metrics["loss"])
                 group_x, group_y = [], []
@@ -289,6 +314,11 @@ class Experiment:
             batch_stats = self.state.batch_stats
         else:
             params, batch_stats = self.params, self.batch_stats
+        if jax.process_count() > 1:
+            # pull the replicated copies onto the local eval mesh
+            rep = NamedSharding(self._eval_mesh, P())
+            params = jax.device_put(jax.device_get(params), rep)
+            batch_stats = jax.device_put(jax.device_get(batch_stats), rep)
         produce_evaluation_file(
             self.eval_step, params, batch_stats, batcher, trial_path, out_path,
             put_batch=lambda x: jax.device_put(x, self._eval_sharding),
@@ -320,6 +350,10 @@ def run_training(
         log_fn(f"resumed full train state from {resume_path}")
 
     tag = cfg.model_tag(config_path, comment)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host: secondary processes write to their own dirs so shared
+        # filesystems aren't clobbered (artifacts are identical on all hosts)
+        tag = f"{tag}.proc{jax.process_index()}"
     run_dir = Path(output_dir) / tag
     weights = CheckpointManager(run_dir / "weights")
     metrics_dir = run_dir / "metrics"

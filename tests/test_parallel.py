@@ -65,3 +65,56 @@ def test_sharded_train_step_matches_replicated():
     loss1, leaf1 = run(1)
     assert loss8 == pytest.approx(loss1, rel=1e-5)
     np.testing.assert_allclose(leaf8, leaf1, rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# multi-host helpers (process-sharded data feeding; single-process fallbacks)
+# ---------------------------------------------------------------------------
+
+
+def test_process_slice_partitions_batch():
+    from rade_tpu.parallel.multihost import process_slice
+
+    rows = [process_slice(32, pi, 4) for pi in range(4)]
+    assert rows == [(0, 8), (8, 16), (16, 24), (24, 32)]
+    with pytest.raises(ValueError):
+        process_slice(30, 0, 4)
+
+
+def test_train_batcher_process_sharding_reconstructs_global_batch():
+    """Two simulated hosts with the same seed see disjoint halves of every
+    global batch, and together exactly the single-host batch."""
+    from rade_tpu.data.pipeline import TrainBatcher
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.full((4,), i, np.float32), i % 2
+
+    full = list(TrainBatcher(DS(), 16, seed=3).epoch(0))
+    h0 = list(TrainBatcher(DS(), 16, seed=3, process_index=0, process_count=2).epoch(0))
+    h1 = list(TrainBatcher(DS(), 16, seed=3, process_index=1, process_count=2).epoch(0))
+    assert len(full) == len(h0) == len(h1)
+    for (xf, yf), (x0, y0), (x1, y1) in zip(full, h0, h1):
+        np.testing.assert_array_equal(np.concatenate([x0, x1]), xf)
+        np.testing.assert_array_equal(np.concatenate([y0, y1]), yf)
+
+
+def test_shard_host_batch_single_process_places_on_mesh():
+    from rade_tpu.parallel.mesh import batch_sharding, make_mesh
+    from rade_tpu.parallel.multihost import shard_host_batch
+
+    mesh = make_mesh(8)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = shard_host_batch(batch_sharding(mesh), x)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert len(arr.sharding.device_set) == 8
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    from rade_tpu.parallel import multihost
+
+    monkeypatch.delenv("RADE_COORDINATOR", raising=False)
+    assert multihost.maybe_initialize_distributed() is False
