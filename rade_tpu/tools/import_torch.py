@@ -1,0 +1,209 @@
+"""Import reference PyTorch ``.pth`` checkpoints into rade_tpu parameter trees.
+
+The reference trainer saves bare ``model.state_dict()`` files
+(`/root/reference/src/main.py:616-618,653`).  This tool converts those into
+the framework's ``{"model", "loss", "batch_stats"}`` msgpack checkpoints so
+reference-trained models can be evaluated (and fine-tuned) here, enabling
+cross-framework EER validation.
+
+Conventions handled:
+- ``module.``-prefix stripping (DataParallel tolerance, `src/main.py:250-256`);
+- torch ``Linear.weight (out,in)`` -> flax ``kernel (in,out)``;
+- torch ``Conv2d.weight (O,I,kH,kW)`` -> flax ``(kH,kW,I,O)``;
+  ``Conv1d.weight (O,I,K)`` -> ``(K,I,O)``;
+- BatchNorm ``weight/bias/running_mean/running_var`` -> params ``scale/bias``
+  + batch_stats ``mean/var``;
+- dead parameters dropped (AASIST's unused per-block ``bn1`` pre-activation,
+  see `models/AASIST.py:449-453` and rade_tpu/nn/blocks.py).
+
+CLI:
+    python -m rade_tpu.tools.import_torch --config configs/AASIST.conf \
+        --weights /path/to/ref.pth --out weights.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()
+
+
+def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+def _linear(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _conv2d(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _conv1d(sd, prefix) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _bn(sd, prefix) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    params = {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+    stats = {
+        "mean": _np(sd[prefix + ".running_mean"]),
+        "var": _np(sd[prefix + ".running_var"]),
+    }
+    return params, stats
+
+
+def _resblock(sd, prefix) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    p: Dict[str, Any] = {
+        "conv1": _conv2d(sd, prefix + ".conv1"),
+        "conv2": _conv2d(sd, prefix + ".conv2"),
+    }
+    bn_p, bn_s = _bn(sd, prefix + ".bn2")
+    p["bn2"] = bn_p
+    if prefix + ".conv_downsample.weight" in sd:
+        p["conv_downsample"] = _conv2d(sd, prefix + ".conv_downsample")
+    return p, {"bn2": bn_s}
+
+
+def _gat(sd, prefix) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    p = {
+        "att_proj": _linear(sd, prefix + ".att_proj"),
+        "att_weight": _np(sd[prefix + ".att_weight"]),
+        "proj_with_att": _linear(sd, prefix + ".proj_with_att"),
+        "proj_without_att": _linear(sd, prefix + ".proj_without_att"),
+    }
+    bn_p, bn_s = _bn(sd, prefix + ".bn")
+    p["bn"] = bn_p
+    return p, {"bn": bn_s}
+
+
+def _htrg_gat(sd, prefix) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    p = {
+        "proj_type1": _linear(sd, prefix + ".proj_type1"),
+        "proj_type2": _linear(sd, prefix + ".proj_type2"),
+        "att_proj": _linear(sd, prefix + ".att_proj"),
+        "att_projM": _linear(sd, prefix + ".att_projM"),
+        "att_weight11": _np(sd[prefix + ".att_weight11"]),
+        "att_weight22": _np(sd[prefix + ".att_weight22"]),
+        "att_weight12": _np(sd[prefix + ".att_weight12"]),
+        "att_weightM": _np(sd[prefix + ".att_weightM"]),
+        "proj_with_att": _linear(sd, prefix + ".proj_with_att"),
+        "proj_without_att": _linear(sd, prefix + ".proj_without_att"),
+        "proj_with_attM": _linear(sd, prefix + ".proj_with_attM"),
+        "proj_without_attM": _linear(sd, prefix + ".proj_without_attM"),
+    }
+    bn_p, bn_s = _bn(sd, prefix + ".bn")
+    p["bn"] = bn_p
+    return p, {"bn": bn_s}
+
+
+def convert_aasist(sd: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference `models/AASIST.py` Model.state_dict() -> (params, batch_stats).
+
+    The sinc bank (``conv_time``) is a plain tensor attribute in the
+    reference, not a registered buffer, so it never appears in state dicts;
+    both frameworks recompute the identical fixed bank.
+    """
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["first_bn"], stats["first_bn"] = _bn(sd, "first_bn")
+    for i in range(6):
+        # torch key layout: encoder.{i}.0.* (Sequential of Sequentials)
+        params[f"encoder_{i}"], stats[f"encoder_{i}"] = _resblock(sd, f"encoder.{i}.0")
+
+    for name in ("pos_S", "master1", "master2"):
+        params[name] = _np(sd[name])
+
+    for name in ("GAT_layer_S", "GAT_layer_T"):
+        params[name], stats[name] = _gat(sd, name)
+    for name in (
+        "HtrgGAT_layer_ST11", "HtrgGAT_layer_ST12",
+        "HtrgGAT_layer_ST21", "HtrgGAT_layer_ST22",
+    ):
+        params[name], stats[name] = _htrg_gat(sd, name)
+
+    for name in ("pool_S", "pool_T", "pool_hS1", "pool_hT1", "pool_hS2", "pool_hT2"):
+        params[name] = {"proj": _linear(sd, name + ".proj")}
+
+    params["out_layer"] = _linear(sd, "out_layer")
+    return params, stats
+
+
+CONVERTERS = {
+    "AASIST": convert_aasist,
+    "AASIST-L": convert_aasist,
+}
+
+
+def convert_state_dict(architecture: str, sd: Dict[str, Any]):
+    if architecture not in CONVERTERS:
+        raise ValueError(
+            f"no torch importer for architecture {architecture!r}; "
+            f"available: {sorted(CONVERTERS)}"
+        )
+    return CONVERTERS[architecture](sd)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True, help=".conf for the target model")
+    ap.add_argument("--weights", required=True, help="reference .pth state dict")
+    ap.add_argument("--out", required=True, help="output .ckpt (msgpack)")
+    args = ap.parse_args(argv)
+
+    import torch
+    import jax
+
+    from rade_tpu.config import load_config
+    from rade_tpu.train.checkpoint import save_state
+    from rade_tpu.train.loop import Experiment
+
+    cfg = load_config(args.config)
+    arch = cfg.model_config["architecture"]
+    sd = torch.load(args.weights, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params, stats = convert_state_dict(arch, sd)
+
+    exp = Experiment(cfg, seed=0)
+    tree = {
+        "model": jax.tree.map(lambda x: x, params),
+        "loss": exp.params["loss"],
+        "batch_stats": stats,
+    }
+    # structural check against the freshly-initialized model
+    ref_paths = {jax.tree_util.keystr(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(exp.params["model"])[0]}
+    got_paths = {jax.tree_util.keystr(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    missing, extra = ref_paths - got_paths, got_paths - ref_paths
+    if missing or extra:
+        raise ValueError(f"param tree mismatch: missing={sorted(missing)[:8]} "
+                         f"extra={sorted(extra)[:8]}")
+    save_state(args.out, tree)
+    print(f"wrote {args.out} ({arch}, {len(got_paths)} model arrays)")
+
+
+if __name__ == "__main__":
+    main()
