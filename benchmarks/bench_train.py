@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU-sized smoke run")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=0, help="override micro-batch size")
+    ap.add_argument("--accum", type=int, default=0, help="override accumulation steps")
+    ap.add_argument("--no-fgm", action="store_true", help="disable FGM for A/B runs")
     args = ap.parse_args()
 
     import sys
@@ -38,6 +41,12 @@ def main():
     from rade_tpu.train.loop import Experiment
 
     cfg = ge._phase6_cfg(tiny=args.tiny)
+    if args.batch:
+        cfg.batch_size = args.batch
+    if args.accum:
+        cfg.training.accumulation_steps = args.accum
+    if args.no_fgm:
+        cfg.training.use_fgm = False
     mesh = make_mesh()
     exp = Experiment(cfg, seed=0, mesh=mesh)
     state = exp.setup_training(steps_per_epoch=100)

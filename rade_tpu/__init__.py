@@ -20,3 +20,19 @@ if _os.environ.get("RADE_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["RADE_PLATFORM"])
+
+# Persistent XLA compilation cache: WavLM-Large training graphs take minutes
+# to compile; caching them makes repeat runs (benchmarks, resumed training,
+# eval after training) start in seconds.  Disable with RADE_COMPILE_CACHE=0.
+if _os.environ.get("RADE_COMPILE_CACHE", "1") != "0":
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RADE_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "rade_tpu_xla"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # older jax without these flags
+        pass

@@ -45,17 +45,17 @@ def run_eval(cfg: ExperimentConfig, args) -> None:
         produce_evaluation_file_2021,
     )
     from rade_tpu.evaluate.scoring import calculate_tdcf_eer
-    from rade_tpu.train.checkpoint import restore_state
+    from rade_tpu.train.checkpoint import load_eval_weights
     from rade_tpu.train.loop import Experiment
 
     exp = Experiment(cfg, seed=args.seed)
     weights_path = args.eval_model_weights or cfg.model_path
     if weights_path and Path(weights_path).exists():
-        template = {"model": exp.params["model"], "loss": exp.params["loss"],
-                    "batch_stats": exp.batch_stats}
-        restored = restore_state(weights_path, template)
-        exp.params = {"model": restored["model"], "loss": restored["loss"]}
-        exp.batch_stats = restored["batch_stats"]
+        exp.params, exp.batch_stats = load_eval_weights(
+            weights_path,
+            {"model": exp.params["model"], "loss": exp.params["loss"]},
+            exp.batch_stats,
+        )
         print(f"loaded weights from {weights_path}")
     else:
         print("WARNING: no weights found; scoring with random init")

@@ -37,6 +37,37 @@ def restore_params(path, template):
     return restore_state(path, template)
 
 
+def load_eval_weights(path, params_template, batch_stats_template):
+    """Load scoring weights from EITHER checkpoint layout.
+
+    Accepts (a) a full ``TrainState`` file written by the trainer
+    (best/periodic/swa) — preferring EMA parameters when present, matching
+    the reference's EMA-model-for-eval semantics
+    (`/root/reference/src/main.py:556,1112-1113`) — or (b) a reduced
+    ``{"model", "loss", "batch_stats"}`` tree (e.g. `tools/import_torch.py`
+    output).  Returns ``(params, batch_stats)`` matching the templates'
+    structure, where ``params`` is the ``{"model", "loss"}`` tree.
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if "params" in raw:  # full TrainState
+        src = raw["params"]
+        ema = raw.get("ema_params")
+        if ema:
+            src = ema
+        stats_raw = raw["batch_stats"]
+    elif "model" in raw:  # reduced tree
+        src = {"model": raw["model"], "loss": raw.get("loss", {})}
+        stats_raw = raw["batch_stats"]
+    else:
+        raise ValueError(
+            f"unrecognized checkpoint layout in {path}: keys {sorted(raw)[:8]}"
+        )
+    params = serialization.from_state_dict(params_template, src)
+    batch_stats = serialization.from_state_dict(batch_stats_template, stats_raw)
+    return params, batch_stats
+
+
 class CheckpointManager:
     """Best/periodic checkpoint policy of the reference trainer."""
 

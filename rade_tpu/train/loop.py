@@ -421,9 +421,11 @@ def run_training(
 
     # final: SWA swap + BN update + eval (reference `main.py:671-687`)
     if cfg.training.use_swa and exp.state.swa_params is not None:
-        weights.save_named(exp.state, "swa")
         exp.state = exp.state.replace(params=exp.state.swa_params, ema_params=None)
         exp.bn_update(trn, n_batches=min(len(trn), 50))
+        # saved AFTER the swap + BN update, like the reference's swa.pth:
+        # the file's params ARE the averaged weights
+        weights.save_named(exp.state, "swa")
         final_score = run_dir / ("swa_" + cfg.eval_output)
         exp.score_split(evl, eval_proto, final_score, use_ema=False)
         swa_eer, swa_tdcf = calculate_tdcf_eer(

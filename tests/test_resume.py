@@ -74,3 +74,47 @@ def test_full_state_resume_matches_uninterrupted(tmp_path):
 
     np.testing.assert_allclose(leaf_c, leaf_a, rtol=1e-5, atol=1e-7)
     assert int(jax.device_get(exp_c.state.step)) == 3
+
+
+def test_load_eval_weights_from_full_train_state(tmp_path):
+    """--eval must accept trainer-written full-state checkpoints, preferring
+    EMA parameters (the reference scores dev/eval with the EMA model)."""
+    from rade_tpu.train.checkpoint import load_eval_weights
+
+    cfg = _cfg()
+    mesh = make_mesh(1)
+    exp = Experiment(cfg, seed=9, mesh=mesh)
+    exp.setup_training(steps_per_epoch=3)
+    rng = np.random.RandomState(1)
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    xb = jax.device_put(rng.randn(1, 4, 4800).astype(np.float32) * 0.1, sh)
+    yb = jax.device_put(rng.randint(0, 2, (1, 4)).astype(np.int32), sh)
+    exp.state, _ = exp.train_step(exp.state, xb, yb)
+    ckpt = tmp_path / "full.ckpt"
+    save_state(ckpt, exp.state)
+
+    params_tmpl = {"model": exp.params["model"], "loss": exp.params["loss"]}
+    params, batch_stats = load_eval_weights(ckpt, params_tmpl, exp.batch_stats)
+
+    leaf_got = np.asarray(jax.tree.leaves(params["model"])[0])
+    leaf_ema = np.asarray(jax.tree.leaves(exp.state.ema_params["model"])[0])
+    np.testing.assert_array_equal(leaf_got, leaf_ema)
+    sg = np.asarray(jax.tree.leaves(batch_stats)[0])
+    st = np.asarray(jax.tree.leaves(jax.device_get(exp.state.batch_stats))[0])
+    np.testing.assert_array_equal(sg, st)
+
+
+def test_load_eval_weights_from_reduced_tree(tmp_path):
+    from rade_tpu.train.checkpoint import load_eval_weights
+
+    cfg = _cfg()
+    exp = Experiment(cfg, seed=3, mesh=make_mesh(1))
+    tree = {"model": exp.params["model"], "loss": exp.params["loss"],
+            "batch_stats": exp.batch_stats}
+    ckpt = tmp_path / "reduced.ckpt"
+    save_state(ckpt, tree)
+    params_tmpl = {"model": exp.params["model"], "loss": exp.params["loss"]}
+    params, stats = load_eval_weights(ckpt, params_tmpl, exp.batch_stats)
+    a = np.asarray(jax.tree.leaves(params["model"])[0])
+    b = np.asarray(jax.tree.leaves(exp.params["model"])[0])
+    np.testing.assert_array_equal(a, b)
