@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--batch", type=int, default=0, help="override micro-batch size")
     ap.add_argument("--accum", type=int, default=0, help="override accumulation steps")
     ap.add_argument("--no-fgm", action="store_true", help="disable FGM for A/B runs")
+    ap.add_argument(
+        "--scan-layers", action="store_true",
+        help="stacked nn.scan WavLM encoder (much faster compiles)",
+    )
     args = ap.parse_args()
 
     import sys
@@ -47,6 +51,8 @@ def main():
         cfg.training.accumulation_steps = args.accum
     if args.no_fgm:
         cfg.training.use_fgm = False
+    if args.scan_layers:
+        cfg.model_config["wavlm_scan_layers"] = True
     mesh = make_mesh()
     exp = Experiment(cfg, seed=0, mesh=mesh)
     state = exp.setup_training(steps_per_epoch=100)

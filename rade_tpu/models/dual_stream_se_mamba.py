@@ -140,6 +140,7 @@ class DualStreamSEMamba(nn.Module):
             lora_rank=lora_rank,
             lora_alpha=int(model_config.get("lora_alpha", 32)),
             remat=bool(model_config.get("wavlm_remat", True)),
+            scan_layers=bool(model_config.get("wavlm_scan_layers", False)),
         )
         if wavlm_variant == "large":
             wcfg = WavLMConfig.large(**kw)

@@ -93,6 +93,10 @@ def convert_hf_state_dict(
                 "output_dense": dense(f"{t}.feed_forward.output_dense"),
             },
         }
+    if cfg.scan_layers and cfg.num_hidden_layers > 1:
+        from rade_tpu.nn.wavlm import stack_layer_params
+
+        p = stack_layer_params(p, cfg.num_hidden_layers)
     return p
 
 

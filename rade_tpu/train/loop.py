@@ -102,9 +102,19 @@ class Experiment:
         if "wavlm_stream" in model_params:
             from rade_tpu.nn.wavlm import wavlm_frozen_paths
 
+            n_freeze = int(cfg.model_config.get("wavlm_freeze_layers", 18))
+            if cfg.model_config.get("wavlm_scan_layers") and n_freeze > 0 and (
+                not cfg.training.use_lora
+            ):
+                raise ValueError(
+                    "wavlm_scan_layers stacks encoder layers into one scan, so "
+                    "per-layer freezing (wavlm_freeze_layers > 0) is not "
+                    "expressible as a parameter mask; use the unrolled encoder "
+                    "for Phase-4 style layer freezing, or LoRA/full fine-tune "
+                    "(wavlm_freeze_layers = -1) with the scan"
+                )
             frozen = frozen + wavlm_frozen_paths(
-                int(cfg.model_config.get("wavlm_freeze_layers", 18)),
-                use_lora=cfg.training.use_lora,
+                n_freeze, use_lora=cfg.training.use_lora,
             )
         always = ["lora_", "layer_weights"]
         if cfg.training.use_fgm and cfg.training.fgm_emb_name:

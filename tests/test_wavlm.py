@@ -119,3 +119,75 @@ def test_frozen_paths():
     assert "layers_11/" in paths and "layers_12/" not in paths
     assert wavlm_frozen_paths(-1) == ("feature_extractor", "feature_projection")
     assert wavlm_frozen_paths(0, use_lora=True) == ("wavlm_stream/model",)
+
+
+# ---------------------------------------------------------------------------
+# scan-over-layers encoder mode
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg(**kw):
+    import dataclasses
+
+    return dataclasses.replace(WavLMConfig.tiny(), num_hidden_layers=4, **kw)
+
+
+def test_scan_layers_matches_unrolled():
+    """Stacked nn.scan encoder == unrolled encoder at identical params."""
+    from rade_tpu.nn.wavlm import stack_layer_params
+
+    cfg_u = _tiny_cfg()
+    cfg_s = _tiny_cfg(scan_layers=True)
+    model_u = WavLMModel(cfg_u)
+    model_s = WavLMModel(cfg_s)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3200).astype(np.float32))
+    params_u = model_u.init(jax.random.PRNGKey(0), x)["params"]
+    params_s = stack_layer_params(params_u, cfg_u.num_hidden_layers)
+
+    # structures must agree with a fresh scan-mode init
+    ref_s = model_s.init(jax.random.PRNGKey(1), x)["params"]
+    assert jax.tree_util.tree_structure(params_s) == jax.tree_util.tree_structure(ref_s)
+
+    out_u, hid_u = model_u.apply({"params": params_u}, x, train=False)
+    out_s, hid_s = model_s.apply({"params": params_s}, x, train=False)
+    assert len(hid_u) == len(hid_s) == cfg_u.num_hidden_layers + 1
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), rtol=1e-5, atol=1e-5)
+    for k, (a, b) in enumerate(zip(hid_s, hid_u)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=f"hidden state {k}",
+        )
+
+
+def test_scan_layers_roundtrip_unstack():
+    from rade_tpu.nn.wavlm import stack_layer_params, unstack_layer_params
+
+    cfg = _tiny_cfg()
+    x = jnp.zeros((1, 3200), jnp.float32)
+    params = WavLMModel(cfg).init(jax.random.PRNGKey(0), x)["params"]
+    back = unstack_layer_params(
+        stack_layer_params(params, cfg.num_hidden_layers), cfg.num_hidden_layers
+    )
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(params)[0], key=lambda t: jax.tree_util.keystr(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(back)[0], key=lambda t: jax.tree_util.keystr(t[0])),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_layers_grad_flows_and_remat():
+    cfg = _tiny_cfg(scan_layers=True, remat=True)
+    model = WavLMModel(cfg)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 3200).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        out, _ = model.apply({"params": p}, x, train=False)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    stacked_leaf = jax.tree.leaves(g["layers_scan"])[0]
+    assert np.all(np.isfinite(np.asarray(stacked_leaf)))
+    assert float(jnp.abs(stacked_leaf).sum()) > 0
