@@ -24,7 +24,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -116,7 +116,9 @@ def _htrg_gat(sd, prefix) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return p, {"bn": bn_s}
 
 
-def convert_aasist(sd: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+def convert_aasist(
+    sd: Dict[str, Any], model_config: Optional[Dict[str, Any]] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Reference `models/AASIST.py` Model.state_dict() -> (params, batch_stats).
 
     The sinc bank (``conv_time``) is a plain tensor attribute in the
@@ -150,19 +152,171 @@ def convert_aasist(sd: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return params, stats
 
 
+def _ln(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _mamba(sd, prefix) -> Dict[str, Any]:
+    """`mamba_ssm.Mamba` / `models/modules/mamba_block.py` state dict ->
+    rade_tpu MambaMixer params (in_proj/conv1d/x_proj/dt_proj/A_log/D/out_proj)."""
+    return {
+        "in_proj": _linear(sd, prefix + ".in_proj"),
+        "conv1d": _conv1d(sd, prefix + ".conv1d"),
+        "x_proj": _linear(sd, prefix + ".x_proj"),
+        "dt_proj": _linear(sd, prefix + ".dt_proj"),
+        "A_log": _np(sd[prefix + ".A_log"]),
+        "D": _np(sd[prefix + ".D"]),
+        "out_proj": _linear(sd, prefix + ".out_proj"),
+    }
+
+
+def _normalize_peft_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten PEFT-LoRA wrapping of the WavLM submodule.
+
+    Phase-5/6 checkpoints are saved AFTER `apply_lora_to_wavlm`
+    (`/root/reference/src/main.py:103-158`), so WavLM keys look like
+    ``...model.base_model.model.encoder...q_proj.base_layer.weight`` with
+    sibling ``lora_A.default.weight`` / ``lora_B.default.weight``.  Rewrite
+    to plain HF names plus ``<proj>.lora_A/<proj>.lora_B`` pseudo-keys.
+    """
+    out = {}
+    for k, v in sd.items():
+        k = k.replace(".base_model.model.", ".")
+        if ".lora_A.default.weight" in k or ".lora_A.weight" in k:
+            k = k.split(".lora_A")[0] + ".lora_A"
+        elif ".lora_B.default.weight" in k or ".lora_B.weight" in k:
+            k = k.split(".lora_B")[0] + ".lora_B"
+        else:
+            k = k.replace(".base_layer.", ".")
+        out[k] = v
+    return out
+
+
+def convert_dual_stream(
+    sd: Dict[str, Any], model_config: Optional[Dict[str, Any]] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference `src/models/DualStreamSEMamba.py` Model.state_dict() ->
+    (params, batch_stats) for rade_tpu's DualStreamSEMamba.
+
+    Handles: HF WavLM submodule (via `wavlm_convert.convert_hf_state_dict`),
+    PEFT-LoRA wrapping (adapters -> explicit lora_A_*/lora_B_* params), the
+    SincNet frontend (same block layout as AASIST), fusion/SE, the shared
+    BiMamba mixers, and the pooling/classifier heads.  The sinc bank is a
+    non-registered tensor in the reference (never in state dicts); both
+    frameworks recompute the identical fixed bank.
+    """
+    from rade_tpu.nn.wavlm import WavLMConfig
+    from rade_tpu.nn.wavlm_convert import convert_hf_state_dict
+
+    sd = _normalize_peft_keys(strip_module_prefix(sd))
+    model_config = model_config or {}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # --- WavLM stream ---
+    wl_prefix = "wavlm_stream.model."
+    wl_sd = {
+        k[len(wl_prefix):]: v for k, v in sd.items() if k.startswith(wl_prefix)
+    }
+    lora_rank = 0
+    lora_keys = [k for k in wl_sd if k.endswith(".lora_A")]
+    if lora_keys:
+        lora_rank = _np(wl_sd[lora_keys[0]]).shape[0]
+    variant = str(model_config.get("wavlm_variant", "large"))
+    kw = dict(
+        lora_rank=lora_rank or int(model_config.get("lora_r", 0)),
+        lora_alpha=int(model_config.get("lora_alpha", 32)),
+        scan_layers=bool(model_config.get("wavlm_scan_layers", False)),
+    )
+    wcfg = {
+        "large": WavLMConfig.large, "base": WavLMConfig.base,
+        "tiny": WavLMConfig.tiny,
+    }[variant](**kw)
+    hf_keys = {
+        k: v for k, v in wl_sd.items() if ".lora_" not in k
+        and not k.startswith("masked_spec_embed")
+    }
+    wl_params = convert_hf_state_dict(hf_keys, wcfg)
+    if lora_keys:
+        # lora_A torch (r, in) -> flax (in, r); lora_B (out, r) -> (r, out)
+        for i in range(wcfg.num_hidden_layers):
+            t = f"encoder.layers.{i}.attention"
+            layer = wl_params[f"layers_{i}"]["attention"]
+            for proj in ("q_proj", "v_proj"):
+                layer[f"lora_A_{proj}"] = _np(wl_sd[f"{t}.{proj}.lora_A"]).T
+                layer[f"lora_B_{proj}"] = _np(wl_sd[f"{t}.{proj}.lora_B"]).T
+        if wcfg.scan_layers:
+            from rade_tpu.nn.wavlm import stack_layer_params
+
+            wl_params = stack_layer_params(wl_params, wcfg.num_hidden_layers)
+    params["wavlm_stream"] = {
+        "model": wl_params,
+        "layer_weights": _np(sd["wavlm_stream.layer_weights"]),
+    }
+
+    # --- SincNet stream (AASIST frontend layout) ---
+    sinc_p: Dict[str, Any] = {}
+    sinc_s: Dict[str, Any] = {}
+    sinc_p["first_bn"], sinc_s["first_bn"] = _bn(sd, "sinc_stream.first_bn")
+    for i in range(6):
+        sinc_p[f"encoder_{i}"], sinc_s[f"encoder_{i}"] = _resblock(
+            sd, f"sinc_stream.encoder.{i}.0"
+        )
+    params["sinc_stream"] = sinc_p
+    stats["sinc_stream"] = sinc_s
+
+    # --- fusion ---
+    params["fusion"] = {
+        "ln_wavlm": _ln(sd, "fusion.ln_wavlm"),
+        "ln_sinc": _ln(sd, "fusion.ln_sinc"),
+        "wavlm_proj": _linear(sd, "fusion.wavlm_proj"),
+        "sinc_proj": _linear(sd, "fusion.sinc_proj"),
+        "fusion_proj": _linear(sd, "fusion.fusion_proj"),
+        "se_layer": {
+            "fc1": _linear(sd, "fusion.se_layer.fc.0"),
+            "fc2": _linear(sd, "fusion.se_layer.fc.2"),
+        },
+        "norm": _ln(sd, "fusion.norm"),
+    }
+
+    # --- BiMamba backbone ---
+    n_enc = 0
+    while f"backbone_layers.{n_enc}.norm1.weight" in sd:
+        n_enc += 1
+    for i in range(n_enc):
+        t = f"backbone_layers.{i}"
+        params[f"backbone_{i}"] = {
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+            "mamba": _mamba(sd, f"{t}.mamba"),
+            "ff1": _linear(sd, f"{t}.feed_forward.0"),
+            "ff2": _linear(sd, f"{t}.feed_forward.2"),
+        }
+
+    # --- heads ---
+    params["norm_f"] = _ln(sd, "norm_f")
+    params["attention_pool"] = _linear(sd, "attention_pool")
+    params["classifier"] = _linear(sd, "classifier")
+    return params, stats
+
+
 CONVERTERS = {
     "AASIST": convert_aasist,
     "AASIST-L": convert_aasist,
+    "DualStreamSEMamba": convert_dual_stream,
 }
 
 
-def convert_state_dict(architecture: str, sd: Dict[str, Any]):
+def convert_state_dict(
+    architecture: str, sd: Dict[str, Any],
+    model_config: Optional[Dict[str, Any]] = None,
+):
     if architecture not in CONVERTERS:
         raise ValueError(
             f"no torch importer for architecture {architecture!r}; "
             f"available: {sorted(CONVERTERS)}"
         )
-    return CONVERTERS[architecture](sd)
+    return CONVERTERS[architecture](sd, model_config)
 
 
 def main(argv=None) -> None:
@@ -184,7 +338,7 @@ def main(argv=None) -> None:
     sd = torch.load(args.weights, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    params, stats = convert_state_dict(arch, sd)
+    params, stats = convert_state_dict(arch, sd, dict(cfg.model_config))
 
     exp = Experiment(cfg, seed=0)
     tree = {
