@@ -101,10 +101,12 @@ class RawNet2(nn.Module):
         e = nn.BatchNorm(use_running_average=(not train) or freeze_bn, name="bn_before_gru")(e)
         e = jax.nn.selu(e)
 
-        # 3-layer GRU, batch_first; take the last time step
+        # 3-layer GRU, batch_first; take the last time step.  nn.RNN shares
+        # its scope with the cell, so naming the CELL pins the param path
+        # to gru_{layer}/...
         h = e
         for layer in range(self.nb_gru_layer):
-            rnn = nn.RNN(nn.GRUCell(features=self.gru_node), name=f"gru_{layer}")
+            rnn = nn.RNN(nn.GRUCell(features=self.gru_node, name=f"gru_{layer}"))
             h = rnn(h)
         h_last = h[:, -1, :]
         last_hidden = nn.Dense(self.nb_fc_node, name="fc1_gru")(h_last)

@@ -300,10 +300,97 @@ def convert_dual_stream(
     return params, stats
 
 
+def _resblock1d(sd, prefix) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """RawNet2 `Residual_block` (1-D). The non-first blocks compute a
+    bn1+LeakyReLU pre-activation and then DISCARD it (conv1 takes the raw
+    input, `models/RawNet2Spoof.py:147-155`) — bn1 is dropped here like
+    AASIST's dead bn1."""
+    p: Dict[str, Any] = {
+        "conv1": _conv1d(sd, prefix + ".conv1"),
+        "conv2": _conv1d(sd, prefix + ".conv2"),
+    }
+    bn_p, bn_s = _bn(sd, prefix + ".bn2")
+    p["bn2"] = bn_p
+    if prefix + ".conv_downsample.weight" in sd:
+        p["conv_downsample"] = _conv1d(sd, prefix + ".conv_downsample")
+    return p, {"bn2": bn_s}
+
+
+def _gru_layer(sd, k: int) -> Dict[str, Any]:
+    """torch nn.GRU layer k -> flax GRUCell params.
+
+    torch stacks gates [r; z; n] in weight_ih/weight_hh and keeps two bias
+    vectors; flax fuses the r/z input+hidden biases (hr/hz are bias-free)
+    and keeps hn's bias separate (it sits inside the r* gate product, same
+    as torch's b_hn).
+    """
+    wih = _np(sd[f"gru.weight_ih_l{k}"])
+    whh = _np(sd[f"gru.weight_hh_l{k}"])
+    bih = _np(sd[f"gru.bias_ih_l{k}"])
+    bhh = _np(sd[f"gru.bias_hh_l{k}"])
+    H = whh.shape[1]
+    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+    return {
+        "ir": {"kernel": wih[r].T, "bias": bih[r] + bhh[r]},
+        "iz": {"kernel": wih[z].T, "bias": bih[z] + bhh[z]},
+        "in": {"kernel": wih[n].T, "bias": bih[n]},
+        "hr": {"kernel": whh[r].T},
+        "hz": {"kernel": whh[z].T},
+        "hn": {"kernel": whh[n].T, "bias": bhh[n]},
+    }
+
+
+def convert_rawnet2(
+    sd: Dict[str, Any], model_config: Optional[Dict[str, Any]] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference `models/RawNet2Spoof.py` Model.state_dict() ->
+    (params, batch_stats).  The sinc bank (`Sinc_conv`) is a plain tensor
+    attribute, never in state dicts."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["first_bn"], stats["first_bn"] = _bn(sd, "first_bn")
+    for i in range(6):
+        params[f"block{i}"], stats[f"block{i}"] = _resblock1d(sd, f"block{i}.0")
+        params[f"fc_attention{i}"] = _linear(sd, f"fc_attention{i}.0")
+    params["bn_before_gru"], stats["bn_before_gru"] = _bn(sd, "bn_before_gru")
+    k = 0
+    while f"gru.weight_ih_l{k}" in sd:
+        params[f"gru_{k}"] = _gru_layer(sd, k)
+        k += 1
+    params["fc1_gru"] = _linear(sd, "fc1_gru")
+    params["fc2_gru"] = _linear(sd, "fc2_gru")
+    return params, stats
+
+
+def convert_rawgat(
+    sd: Dict[str, Any], model_config: Optional[Dict[str, Any]] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference `models/RawNetGatSpoofST.py` Model.state_dict() ->
+    (params, batch_stats): dual spectral/temporal res-block encoders, three
+    GAT layers, graph pools, node projections."""
+    sd = strip_module_prefix(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["first_bn"], stats["first_bn"] = _bn(sd, "first_bn")
+    for enc in ("encoder_T", "encoder_S"):
+        for i in range(6):
+            params[f"{enc}_{i}"], stats[f"{enc}_{i}"] = _resblock(sd, f"{enc}.{i}.0")
+    for g in ("GAT_layer_T", "GAT_layer_S", "GAT_layer_ST"):
+        params[g], stats[g] = _gat(sd, g)
+    for pool in ("pool_T", "pool_S", "pool_ST"):
+        params[pool] = {"proj": _linear(sd, pool + ".proj")}
+    for lin in ("proj_T", "proj_S", "proj_ST", "out_layer"):
+        params[lin] = _linear(sd, lin)
+    return params, stats
+
+
 CONVERTERS = {
     "AASIST": convert_aasist,
     "AASIST-L": convert_aasist,
     "DualStreamSEMamba": convert_dual_stream,
+    "RawNet2Spoof": convert_rawnet2,
+    "RawNetGatSpoofST": convert_rawgat,
 }
 
 

@@ -105,3 +105,142 @@ def test_forward_parity_with_reference_torch(ref_model):
     np.testing.assert_allclose(
         np.asarray(hid_j), hid_t.numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# RawNet2
+# ---------------------------------------------------------------------------
+
+RAWNET2_ARGS = {
+    "architecture": "RawNet2Spoof",
+    "nb_samp": 16000,
+    "first_conv": 128,
+    "in_channels": 1,
+    "filts": [4, [4, 4], [4, 8], [8, 8]],
+    "gru_node": 16,
+    "nb_gru_layer": 3,
+    "nb_fc_node": 16,
+    "nb_classes": 2,
+}
+
+RAWNET2_REF = Path("/root/reference/models/RawNet2Spoof.py")
+
+
+@pytest.fixture(scope="module")
+def ref_rawnet2():
+    if not RAWNET2_REF.exists():
+        pytest.skip("reference not mounted")
+    spec = importlib.util.spec_from_file_location("ref_rawnet2", RAWNET2_REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    import copy
+
+    model = mod.Model(copy.deepcopy(RAWNET2_ARGS))  # ctor mutates filts
+    model.eval()
+    return model
+
+
+def test_rawnet2_state_dict_converts_to_full_tree(ref_rawnet2):
+    import copy
+
+    import jax
+
+    from rade_tpu.tools.import_torch import convert_rawnet2
+
+    params, stats = convert_rawnet2(ref_rawnet2.state_dict())
+    model = build_model(copy.deepcopy(RAWNET2_ARGS))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000), jnp.float32))
+
+    def paths(tree):
+        return {
+            jax.tree_util.keystr(k)
+            for k, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert paths(params) == paths(variables["params"])
+    assert paths(stats) == paths(variables["batch_stats"])
+
+
+def test_rawnet2_forward_parity(ref_rawnet2):
+    import copy
+
+    from rade_tpu.tools.import_torch import convert_rawnet2
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 16000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        hid_t, out_t = ref_rawnet2(torch.tensor(x))
+
+    params, stats = convert_rawnet2(ref_rawnet2.state_dict())
+    model = build_model(copy.deepcopy(RAWNET2_ARGS))
+    hid_j, out_j = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(hid_j), hid_t.numpy(), rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# RawGAT-ST
+# ---------------------------------------------------------------------------
+
+RAWGAT_ARGS = {
+    "architecture": "RawNetGatSpoofST",
+    # the reference hardcodes proj_T(14->12) / proj_S(23->12): 14 pooled
+    # spectral nodes (0.64*23) and 23 pooled time nodes (0.81*29), which
+    # require the full 64600-sample input
+    "nb_samp": 64600,
+    "first_conv": 128,
+    "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+}
+
+RAWGAT_REF = Path("/root/reference/models/RawNetGatSpoofST.py")
+
+
+@pytest.fixture(scope="module")
+def ref_rawgat():
+    if not RAWGAT_REF.exists():
+        pytest.skip("reference not mounted")
+    spec = importlib.util.spec_from_file_location("ref_rawgat", RAWGAT_REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    model = mod.Model(dict(RAWGAT_ARGS))
+    model.eval()
+    return model
+
+
+def test_rawgat_state_dict_converts_to_full_tree(ref_rawgat):
+    import jax
+
+    from rade_tpu.tools.import_torch import convert_rawgat
+
+    params, stats = convert_rawgat(ref_rawgat.state_dict())
+    model = build_model(dict(RAWGAT_ARGS))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64600), jnp.float32))
+
+    def paths(tree):
+        return {
+            jax.tree_util.keystr(k)
+            for k, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    assert paths(params) == paths(variables["params"])
+    assert paths(stats) == paths(variables["batch_stats"])
+
+
+def test_rawgat_forward_parity(ref_rawgat):
+    from rade_tpu.tools.import_torch import convert_rawgat
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 64600).astype(np.float32) * 0.1
+    with torch.no_grad():
+        hid_t, out_t = ref_rawgat(torch.tensor(x))
+
+    params, stats = convert_rawgat(ref_rawgat.state_dict())
+    model = build_model(dict(RAWGAT_ARGS))
+    hid_j, out_j = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), rtol=1e-3, atol=1e-3)
