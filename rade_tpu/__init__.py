@@ -24,7 +24,13 @@ if _os.environ.get("RADE_PLATFORM"):
 # Persistent XLA compilation cache: WavLM-Large training graphs take minutes
 # to compile; caching them makes repeat runs (benchmarks, resumed training,
 # eval after training) start in seconds.  Disable with RADE_COMPILE_CACHE=0.
-if _os.environ.get("RADE_COMPILE_CACHE", "1") != "0":
+# TPU-only: CPU AOT cache entries embed host machine features and can SIGILL
+# when loaded on a different host (or even feature-flag context).
+if (
+    _os.environ.get("RADE_COMPILE_CACHE", "1") != "0"
+    and _os.environ.get("RADE_PLATFORM") != "cpu"
+    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")
+):
     import jax as _jax
 
     _cache_dir = _os.environ.get(
