@@ -30,19 +30,16 @@ def rank_samples_by_loss(
     import jax
     import jax.numpy as jnp
 
-    from rade_tpu.train.checkpoint import restore_state
+    from rade_tpu.train.checkpoint import load_eval_weights
     from rade_tpu.train.loop import Experiment
 
     exp = Experiment(cfg, seed=seed)
     if weights_path and Path(weights_path).exists():
-        template = {
-            "model": exp.params["model"],
-            "loss": exp.params["loss"],
-            "batch_stats": exp.batch_stats,
-        }
-        restored = restore_state(weights_path, template)
-        exp.params = {"model": restored["model"], "loss": restored["loss"]}
-        exp.batch_stats = restored["batch_stats"]
+        exp.params, exp.batch_stats = load_eval_weights(
+            weights_path,
+            {"model": exp.params["model"], "loss": exp.params["loss"]},
+            exp.batch_stats,
+        )
 
     db = Path(cfg.database_path)
     track = cfg.track

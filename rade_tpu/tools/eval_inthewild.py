@@ -22,16 +22,16 @@ import numpy as np
 def evaluate(cfg, weights: str, meta_csv: str, audio_dir: str, out_path=None, seed=0):
     from rade_tpu.data.datasets import InTheWildDataset
     from rade_tpu.evaluate.metrics import compute_eer_minflip
-    from rade_tpu.train.checkpoint import restore_state
+    from rade_tpu.train.checkpoint import load_eval_weights
     from rade_tpu.train.loop import Experiment
 
     exp = Experiment(cfg, seed=seed)
     if weights and Path(weights).exists():
-        template = {"model": exp.params["model"], "loss": exp.params["loss"],
-                    "batch_stats": exp.batch_stats}
-        restored = restore_state(weights, template)
-        exp.params = {"model": restored["model"], "loss": restored["loss"]}
-        exp.batch_stats = restored["batch_stats"]
+        exp.params, exp.batch_stats = load_eval_weights(
+            weights,
+            {"model": exp.params["model"], "loss": exp.params["loss"]},
+            exp.batch_stats,
+        )
 
     ds = InTheWildDataset(meta_csv, audio_dir, cut=exp.nb_samp)
     bs = cfg.test.batch_size

@@ -22,16 +22,16 @@ def collect_embeddings(cfg, weights: str, split: str, n: int, seed: int = 0):
 
     from rade_tpu.data.datasets import EvalDataset
     from rade_tpu.data.protocols import parse_protocol_labeled
-    from rade_tpu.train.checkpoint import restore_state
+    from rade_tpu.train.checkpoint import load_eval_weights
     from rade_tpu.train.loop import Experiment
 
     exp = Experiment(cfg, seed=seed)
     if weights and Path(weights).exists():
-        template = {"model": exp.params["model"], "loss": exp.params["loss"],
-                    "batch_stats": exp.batch_stats}
-        restored = restore_state(weights, template)
-        exp.params = {"model": restored["model"], "loss": restored["loss"]}
-        exp.batch_stats = restored["batch_stats"]
+        exp.params, exp.batch_stats = load_eval_weights(
+            weights,
+            {"model": exp.params["model"], "loss": exp.params["loss"]},
+            exp.batch_stats,
+        )
 
     db = Path(cfg.database_path)
     track = cfg.track

@@ -37,6 +37,28 @@ def restore_params(path, template):
     return restore_state(path, template)
 
 
+def merge_matching(template, raw):
+    """Best-effort partial load: copy leaves whose path AND shape match the
+    template, keep the template value elsewhere (the reference's
+    `load_state_dict(strict=False)` semantics, `src/main.py:245-258`)."""
+    import numpy as np
+
+    if isinstance(template, dict):
+        if not isinstance(raw, dict):
+            return template
+        return {
+            k: merge_matching(v, raw[k]) if k in raw else v
+            for k, v in template.items()
+        }
+    try:
+        arr = np.asarray(raw)
+        if arr.shape == np.shape(template):
+            return arr.astype(np.asarray(template).dtype)
+    except Exception:
+        pass
+    return template
+
+
 def load_eval_weights(path, params_template, batch_stats_template):
     """Load scoring weights from EITHER checkpoint layout.
 

@@ -145,24 +145,36 @@ class Experiment:
     def load_weights(self, path, strict: bool = True) -> None:
         """Warm-start from a checkpoint of params(+stats).
 
-        strict=False mirrors the reference's `load_state_dict(strict=False)`
-        (`src/main.py:245-258`): only structurally-matching leaves load.
+        Accepts either checkpoint layout (reduced tree or full train state,
+        via `load_eval_weights`).  strict=False mirrors the reference's
+        `load_state_dict(strict=False)` (`src/main.py:245-258`): only
+        structurally-matching leaves load, everything else keeps its init.
         """
-        from rade_tpu.train.checkpoint import restore_state
+        from flax import serialization
 
-        template = {
+        from rade_tpu.train.checkpoint import load_eval_weights, merge_matching
+
+        params_template = {
             "model": self.params["model"],
             "loss": self.params["loss"],
-            "batch_stats": self.batch_stats,
         }
         try:
-            restored = restore_state(path, template)
+            self.params, self.batch_stats = load_eval_weights(
+                path, params_template, self.batch_stats
+            )
+            return
         except Exception:
             if strict:
                 raise
-            return
-        self.params = {"model": restored["model"], "loss": restored["loss"]}
-        self.batch_stats = restored["batch_stats"]
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if "params" in raw:  # full train state
+            src, stats_raw = raw.get("params", {}), raw.get("batch_stats", {})
+        else:
+            src = {"model": raw.get("model", {}), "loss": raw.get("loss", {})}
+            stats_raw = raw.get("batch_stats", {})
+        self.params = merge_matching(params_template, src)
+        self.batch_stats = merge_matching(self.batch_stats, stats_raw)
 
     def bn_update(self, batcher, n_batches: Optional[int] = None) -> None:
         """Recompute BN running stats over the train set (torch `bn_update`).
