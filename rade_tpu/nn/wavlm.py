@@ -365,6 +365,13 @@ class WavLMFrontend(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         _, hidden = WavLMModel(self.cfg, name="model")(x, train)
         stack = jnp.stack(hidden, axis=0)  # (N+1, B, T, E)
+        if self.weighting == "cbam":
+            # CBAM pattern (reference `fake_mamba_model.py:1166-1295`):
+            # channel+spatial attention on the layer stack, then layer-sum
+            from rade_tpu.nn.cbam import CBAMAttention
+
+            weighted = CBAMAttention(name="cbam")(stack.transpose(1, 0, 2, 3))
+            return jnp.sum(weighted, axis=1)
         if self.weighting == "sls":
             # SLS pattern (reference `fake_mamba_model.py:286-302` getAttenF):
             # per-sample attention over layer outputs from time-pooled summaries
