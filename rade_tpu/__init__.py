@@ -24,12 +24,16 @@ if _os.environ.get("RADE_PLATFORM"):
 # Persistent XLA compilation cache: WavLM-Large training graphs take minutes
 # to compile; caching them makes repeat runs (benchmarks, resumed training,
 # eval after training) start in seconds.  Disable with RADE_COMPILE_CACHE=0.
-# TPU-only: CPU AOT cache entries embed host machine features and can SIGILL
-# when loaded on a different host (or even feature-flag context).
+# TPU-only, and FAIL CLOSED: CPU AOT cache entries embed host machine
+# features and can SIGILL when loaded on a different host (~/.cache is often
+# NFS-shared), so the cache is enabled only when the environment EXPLICITLY
+# names a TPU backend — never by default.
+_plat = (
+    _os.environ.get("RADE_PLATFORM") or _os.environ.get("JAX_PLATFORMS") or ""
+).lower()
 if (
     _os.environ.get("RADE_COMPILE_CACHE", "1") != "0"
-    and _os.environ.get("RADE_PLATFORM") != "cpu"
-    and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")
+    and _plat in ("tpu", "axon")
 ):
     import jax as _jax
 
