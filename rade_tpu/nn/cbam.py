@@ -39,13 +39,17 @@ class CBAMAttention(nn.Module):
         x = x * ca[:, None, None, :]
 
         # spatial attention: 7x7 conv over the (T, L) map of the
-        # channel-avg/max pooled features
+        # channel-avg/max pooled features.  The map is oriented (T, L) — time
+        # as conv rows, layers as columns — matching the reference's permute
+        # to [B, C, seq, layers] (`fake_mamba_model.py:1214-1222`) so a torch
+        # CBAM `spatial_conv` kernel imports without transposition.
         avg_sp = jnp.mean(x, axis=3)  # (B, L, T)
         max_sp = jnp.max(x, axis=3)
-        pooled = jnp.stack([avg_sp, max_sp], axis=-1)  # (B, L, T, 2) as NHWC
+        pooled = jnp.stack([avg_sp, max_sp], axis=-1)  # (B, L, T, 2)
+        pooled = pooled.transpose(0, 2, 1, 3)  # (B, T, L, 2) as NHWC
         sa = nn.Conv(
             1, (7, 7), padding=((3, 3), (3, 3)), use_bias=False,
             name="spatial_conv",
         )(pooled)
-        sa = jax.nn.sigmoid(sa)  # (B, L, T, 1)
-        return x * sa
+        sa = jax.nn.sigmoid(sa)  # (B, T, L, 1)
+        return x * sa.transpose(0, 2, 1, 3)

@@ -19,6 +19,25 @@ from pathlib import Path
 
 
 def latest_epoch(metric_log: Path) -> int:
+    """Last completed epoch of a run.
+
+    Primary source is the structured scalar time-series
+    (``metrics/scalars.jsonl``, one JSON object per epoch) written by the
+    trainer; the ``metric_log.txt`` regex scrape is kept as a fallback for
+    pre-scalars run dirs (and reference-style logs).
+    """
+    import json
+
+    scalars = metric_log.parent / "metrics" / "scalars.jsonl"
+    if scalars.exists():
+        last = -1
+        for line in scalars.read_text().splitlines():
+            try:
+                last = max(last, int(json.loads(line).get("epoch", -1)))
+            except (ValueError, json.JSONDecodeError):
+                continue
+        if last >= 0:
+            return last
     if not metric_log.exists():
         return -1
     last = -1

@@ -31,9 +31,64 @@ from rade_tpu.losses import ocsoftmax_init
 from rade_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from rade_tpu.registry import build_model
 from rade_tpu.train.checkpoint import CheckpointManager, save_state
-from rade_tpu.train.optim import make_optimizer, make_trainable_mask
+from rade_tpu.train.optim import make_lr_schedule, make_optimizer, make_trainable_mask
 from rade_tpu.train.state import TrainState
 from rade_tpu.train.step import make_eval_step, make_train_step
+
+
+def _bridge_wavlm_layout(src, template):
+    """Convert a checkpoint's WavLM encoder layout to the target's.
+
+    A Phase-5 unrolled checkpoint (`layers_1..N-1`) can warm-start a
+    `wavlm_scan_layers` config (stacked `layers_scan/layer`) and vice versa;
+    without the conversion the whole encoder silently keeps its init during
+    a non-strict load.  Best-effort: returns `src` unchanged when the layouts
+    already agree or the trees don't look like a WavLM model."""
+    try:
+        s = src["model"]["wavlm_stream"]["model"]
+        t = template["model"]["wavlm_stream"]["model"]
+    except (KeyError, TypeError):
+        return src
+    from rade_tpu.nn.wavlm import (
+        _is_unrolled_layer_key, stack_layer_params, unstack_layer_params,
+    )
+
+    src_unrolled = any(_is_unrolled_layer_key(k) for k in s)
+    tgt_unrolled = any(_is_unrolled_layer_key(k) for k in t)
+    if src_unrolled == tgt_unrolled:
+        return src
+    try:
+        if src_unrolled:
+            n = 1 + sum(1 for k in s if _is_unrolled_layer_key(k))
+            converted = stack_layer_params(s, n)
+        else:
+            n = 1 + sum(1 for k in t if _is_unrolled_layer_key(k))
+            converted = unstack_layer_params(s, n)
+    except Exception:
+        return src
+    return {
+        **src,
+        "model": {
+            **src["model"],
+            "wavlm_stream": {**src["model"]["wavlm_stream"], "model": converted},
+        },
+    }
+
+
+def _unmatched_subtrees(template, merged):
+    """Top-level keys whose every leaf kept its init after a non-strict merge
+    (merge_matching returns the template objects themselves when unmatched,
+    so leaf identity is the signal)."""
+    out = []
+    for k, tv in template.items():
+        t_leaves = jax.tree.leaves(tv)
+        m_leaves = jax.tree.leaves(merged.get(k))
+        if t_leaves and (
+            len(t_leaves) != len(m_leaves)
+            or all(a is b for a, b in zip(m_leaves, t_leaves))
+        ):
+            out.append(k)
+    return out
 
 
 def _ocsoftmax_feat_dim(cfg: ExperimentConfig) -> int:
@@ -139,8 +194,50 @@ class Experiment:
         self.tx = None
         self.train_step = None
 
+        self._load_ssl_pretrained(model_config)
         if cfg.pretrained_weights and Path(cfg.pretrained_weights).exists():
             self.load_weights(cfg.pretrained_weights, strict=False)
+
+    def _load_ssl_pretrained(self, model_config) -> None:
+        """Splice pretrained SSL weights into the fresh init.
+
+        The reference loads wavlm-large / fairseq ``xlsr2_300m.pt`` at model
+        construction (`DualStreamSEMamba.py:295-317`,
+        `xlsr_mamba_model.py:21-43`); here the model_config keys
+        ``wavlm_pretrained`` (HF checkpoint dir) or ``ssl_checkpoint``
+        (fairseq/HF torch file) do the same at Experiment build time.
+        """
+        path = model_config.get("wavlm_pretrained") or model_config.get(
+            "ssl_checkpoint"
+        )
+        if not path or not Path(path).exists():
+            return
+        wcfg = getattr(self.model, "wavlm_cfg", None)
+        if wcfg is None:
+            print(f"ssl_checkpoint set but {self.cfg.architecture} has no SSL stage")
+            return
+        from rade_tpu.nn.wavlm_convert import load_pretrained, load_xlsr_checkpoint
+
+        converted = (
+            load_pretrained(path, wcfg)
+            if Path(path).is_dir()
+            else load_xlsr_checkpoint(path, wcfg)
+        )
+        mp = self.params["model"]
+        if "wavlm_stream" in mp:  # DualStreamSEMamba: frontend wraps the model
+            target = mp["wavlm_stream"]["model"]
+            merged = jax.tree.map(
+                lambda t, s: jnp.asarray(s, t.dtype), target, converted
+            )
+            mp["wavlm_stream"]["model"] = merged
+        elif "ssl_model" in mp:  # XLSR-Mamba / XLSR-Conformer
+            mp["ssl_model"] = jax.tree.map(
+                lambda t, s: jnp.asarray(s, t.dtype), mp["ssl_model"], converted
+            )
+        else:
+            print("ssl pretrained: no wavlm_stream/ssl_model subtree found")
+            return
+        print(f"loaded SSL pretrained weights from {path}")
 
     def load_weights(self, path, strict: bool = True) -> None:
         """Warm-start from a checkpoint of params(+stats).
@@ -168,42 +265,69 @@ class Experiment:
                 raise
         with open(path, "rb") as f:
             raw = serialization.msgpack_restore(f.read())
-        if "params" in raw:  # full train state
-            src, stats_raw = raw.get("params", {}), raw.get("batch_stats", {})
+        if "params" in raw:  # full train state — prefer EMA weights, like
+            # the strict path / the reference's EMA-model-for-eval semantics
+            src = raw.get("ema_params") or raw.get("params", {})
+            stats_raw = raw.get("batch_stats", {})
         else:
             src = {"model": raw.get("model", {}), "loss": raw.get("loss", {})}
             stats_raw = raw.get("batch_stats", {})
+        src = _bridge_wavlm_layout(src, params_template)
         self.params = merge_matching(params_template, src)
         self.batch_stats = merge_matching(self.batch_stats, stats_raw)
+        # report which top-level model subtrees failed to (fully) match, so a
+        # silent partial warm-start is at least a visible one
+        unmatched = _unmatched_subtrees(
+            params_template.get("model", {}), self.params.get("model", {})
+        )
+        if unmatched:
+            print(
+                f"load_weights(strict=False): subtrees kept at init "
+                f"(no structural match in {path}): {sorted(unmatched)}"
+            )
 
     def bn_update(self, batcher, n_batches: Optional[int] = None) -> None:
         """Recompute BN running stats over the train set (torch `bn_update`).
 
         Extracts exact per-batch statistics from flax's EMA update
         (batch_stat = (new - m*old) / (1-m)) and cumulative-averages them,
-        matching torchcontrib's SWA bn_update used at `src/main.py:671-673`.
+        matching torchcontrib's SWA bn_update used at `src/main.py:671-673`
+        (which consumes the FULL train loader — so does the default here).
+
+        The EMA momentum `m` is not hardcoded: it is calibrated per stats
+        leaf on the first batch by applying the update from two offset
+        running-stat trees (new' - new == m, since flax's update is linear
+        in the old value) — correct for any per-module BN momentum.
         """
         import jax
 
         model = self.model
         params = self.state.params if self.state is not None else self.params
-        momentum = 0.99  # flax BatchNorm default
         rng = jax.random.fold_in(self.rng, 99)
         acc = None
         count = 0
-        for i, (xb, yb) in enumerate(batcher.epoch(0)):
-            if n_batches is not None and i >= n_batches:
-                break
-            cur = self.state.batch_stats if self.state is not None else self.batch_stats
+        momentum = None
+
+        def apply_stats(cur, xb):
             _, upd = model.apply(
                 {"params": params["model"], "batch_stats": cur},
                 jnp.asarray(xb), train=True,
                 rngs={"dropout": rng, "freq_aug": rng},
                 mutable=["batch_stats"],
             )
+            return upd["batch_stats"]
+
+        for i, (xb, yb) in enumerate(batcher.epoch(0)):
+            if n_batches is not None and i >= n_batches:
+                break
+            cur = self.state.batch_stats if self.state is not None else self.batch_stats
+            new = apply_stats(cur, xb)
+            if momentum is None:
+                shifted = apply_stats(jax.tree.map(lambda s: s + 1.0, cur), xb)
+                momentum = jax.tree.map(lambda a, b: a - b, shifted, new)
             batch_stat = jax.tree.map(
-                lambda new, old: (new - momentum * old) / (1.0 - momentum),
-                upd["batch_stats"], cur,
+                lambda n, old, m: (n - m * old) / jnp.maximum(1.0 - m, 1e-6),
+                new, cur, momentum,
             )
             acc = batch_stat if acc is None else jax.tree.map(
                 jnp.add, acc, batch_stat
@@ -226,6 +350,9 @@ class Experiment:
             cfg.optim, cfg.training, total_steps, cfg.training.grad_clip_norm,
             trainable_mask=self.trainable_mask,
         )
+        # the backbone-group schedule, kept for scalar logging (same function
+        # the optimizer group runs on)
+        self.lr_schedule = make_lr_schedule(cfg.optim, cfg.training, total_steps)
         # donate the state: old params/EMA/opt buffers are reused in place,
         # halving peak state memory on the chip
         self.train_step = jax.jit(
@@ -303,26 +430,40 @@ class Experiment:
         losses = []
         micro_iter = prefetch(batcher.epoch(epoch), depth=4)
         group_x, group_y = [], []
+
+        def run_group():
+            from rade_tpu.parallel.multihost import shard_host_batch
+
+            n_valid = len(group_x)
+            # pad the trailing partial group to `accum` with zero-weight
+            # micro-batches: the reference takes a partial optimizer step on
+            # the last loader batch (`src/main.py:1100`), with grads still
+            # divided by the full accumulation_steps
+            while len(group_x) < accum:
+                group_x.append(np.zeros_like(group_x[0]))
+                group_y.append(np.zeros_like(group_y[0]))
+            ws = np.zeros((accum,), np.float32)
+            ws[:n_valid] = 1.0
+            gb = self.cfg.batch_size  # global micro-batch
+            xs = shard_host_batch(
+                self._batch_sharding, np.stack(group_x),
+                (accum, gb) + group_x[0].shape[1:],
+            )
+            ys = shard_host_batch(
+                self._batch_sharding, np.stack(group_y), (accum, gb)
+            )
+            self.state, metrics = self.train_step(self.state, xs, ys, jnp.asarray(ws))
+            losses.append(metrics["loss"])
+            group_x.clear()
+            group_y.clear()
+
         for xb, yb in micro_iter:
             group_x.append(xb)
             group_y.append(yb)
             if len(group_x) == accum:
-                from rade_tpu.parallel.multihost import shard_host_batch
-
-                gb = self.cfg.batch_size  # global micro-batch
-                xs = shard_host_batch(
-                    self._batch_sharding, np.stack(group_x),
-                    (accum, gb) + group_x[0].shape[1:],
-                )
-                ys = shard_host_batch(
-                    self._batch_sharding, np.stack(group_y), (accum, gb)
-                )
-                self.state, metrics = self.train_step(self.state, xs, ys)
-                losses.append(metrics["loss"])
-                group_x, group_y = [], []
-        # trailing partial group (< accum micro-batches) is dropped; the
-        # reference takes a partial optimizer step there instead — at most
-        # accum-1 micro-batches per epoch differ.
+                run_group()
+        if group_x:  # trailing partial group -> partial optimizer step
+            run_group()
         if profile_dir and epoch == 0:
             jax.tree.map(lambda x: x.block_until_ready(), self.state.params)
             jax.profiler.stop_trace()
@@ -337,10 +478,22 @@ class Experiment:
         else:
             params, batch_stats = self.params, self.batch_stats
         if jax.process_count() > 1:
-            # pull the replicated copies onto the local eval mesh
-            rep = NamedSharding(self._eval_mesh, P())
-            params = jax.device_put(jax.device_get(params), rep)
-            batch_stats = jax.device_put(jax.device_get(batch_stats), rep)
+            # pull the replicated copies onto the local eval mesh — cached
+            # per (state, ema-flag): the round-trip through host memory is
+            # ~1.3 GB for WavLM-Large, so repeated score_split calls on the
+            # same state (dev + eval + diag in one epoch) pay it once
+            cache_key = (
+                int(jax.device_get(self.state.step)) if self.state is not None else -1,
+                use_ema,
+            )
+            if getattr(self, "_eval_cache_key", None) != cache_key:
+                rep = NamedSharding(self._eval_mesh, P())
+                self._eval_cache = (
+                    jax.device_put(jax.device_get(params), rep),
+                    jax.device_put(jax.device_get(batch_stats), rep),
+                )
+                self._eval_cache_key = cache_key
+            params, batch_stats = self._eval_cache
         produce_evaluation_file(
             self.eval_step, params, batch_stats, batcher, trial_path, out_path,
             put_batch=lambda x: jax.device_put(x, self._eval_sharding),
@@ -363,7 +516,8 @@ def run_training(
     trn, dev, evl, dev_proto, eval_proto = exp.build_loaders(Path(database_path))
 
     accum = max(1, cfg.training.accumulation_steps)
-    steps_per_epoch = max(1, len(trn) // accum)
+    # ceil: the trailing partial accumulation group takes an optimizer step too
+    steps_per_epoch = max(1, -(-len(trn) // accum))
     state = exp.setup_training(steps_per_epoch)
     if resume_path:
         from rade_tpu.train.checkpoint import restore_state
@@ -383,6 +537,16 @@ def run_training(
     (run_dir / "config.conf").write_text(json.dumps(cfg.raw, indent=2))
     metric_log = open(run_dir / "metric_log.txt", "a")
     metric_log.write("=" * 5 + "\n")
+    # scalar time-series (the TensorBoard-equivalent observability artifact:
+    # reference writes these scalars to TB at `src/main.py:567-569,666-667`);
+    # one JSON object per epoch, plottable with tools/plot_metrics.py and
+    # consumed by tools/autopilot.py
+    scalars_path = metrics_dir / "scalars.jsonl"
+    scalars_log = open(scalars_path, "a")
+
+    def write_scalars(row: Dict[str, Any]) -> None:
+        scalars_log.write(json.dumps(row) + "\n")
+        scalars_log.flush()
 
     asv_path = cfg.asv_score_path
     best_dev_eer, best_eval_eer, best_eval_tdcf = 100.0, 100.0, 1.0
@@ -391,6 +555,7 @@ def run_training(
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         loss = exp.train_one_epoch(trn, epoch)
+        train_seconds = time.time() - t0
         dev_score = metrics_dir / f"dev_score_ep{epoch}.txt"
         exp.score_split(dev, dev_proto, dev_score)
         dev_eer, dev_tdcf = calculate_tdcf_eer(
@@ -408,6 +573,7 @@ def run_training(
         metric_log.flush()
         history.append({"epoch": epoch, "loss": loss, "dev_eer": dev_eer, "dev_tdcf": dev_tdcf})
 
+        eval_eer = eval_tdcf = None
         if dev_eer < best_dev_eer:
             best_dev_eer = dev_eer
             weights.save_best(exp.state, epoch, dev_eer)
@@ -425,6 +591,25 @@ def run_training(
             # SWA snapshot on every new-best epoch (reference `main.py:643-645`)
             if cfg.training.use_swa:
                 exp.state = exp.state.swa_snapshot()
+
+        step_now = int(jax.device_get(exp.state.step))
+        n_utts = len(trn) * cfg.batch_size
+        write_scalars({
+            "epoch": epoch,
+            "step": step_now,
+            "loss": loss,
+            "dev_eer": dev_eer,
+            "dev_tdcf": dev_tdcf,
+            "eval_eer": eval_eer,
+            "eval_tdcf": eval_tdcf,
+            "lr": float(exp.lr_schedule(max(0, step_now - 1))),
+            "train_seconds": round(train_seconds, 3),
+            "utt_per_sec": round(n_utts / max(train_seconds, 1e-9), 3),
+            "best_dev_eer": best_dev_eer,
+            "best_eval_eer": best_eval_eer,
+            "best_eval_tdcf": best_eval_tdcf,
+            "time": time.time(),
+        })
 
         if epoch % 10 == 0:
             weights.save_periodic(exp.state, epoch)
@@ -444,7 +629,8 @@ def run_training(
     # final: SWA swap + BN update + eval (reference `main.py:671-687`)
     if cfg.training.use_swa and exp.state.swa_params is not None:
         exp.state = exp.state.replace(params=exp.state.swa_params, ema_params=None)
-        exp.bn_update(trn, n_batches=min(len(trn), 50))
+        # full train loader, like torchcontrib's bn_update (`src/main.py:671-673`)
+        exp.bn_update(trn)
         # saved AFTER the swap + BN update, like the reference's swa.pth:
         # the file's params ARE the averaged weights
         weights.save_named(exp.state, "swa")
@@ -493,6 +679,7 @@ def run_training(
             log_fn(f"2021-DF auto-eval failed: {e}")
 
     metric_log.close()
+    scalars_log.close()
     return {
         "best_dev_eer": best_dev_eer,
         "best_eval_eer": best_eval_eer,

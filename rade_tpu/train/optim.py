@@ -58,6 +58,30 @@ def wavlm_label_fn(params: Dict[str, Any]) -> Dict[str, Any]:
     return labels
 
 
+def make_lr_schedule(
+    optim_cfg: OptimConfig,
+    training_cfg: TrainingConfig,
+    total_optimizer_steps: int,
+    base_lr: Optional[float] = None,
+) -> optax.Schedule:
+    """The warmup+cosine schedule one optimizer group runs on (shared by
+    `make_optimizer` and the scalar logger, so logged LR == applied LR)."""
+    eta_min = float(
+        optim_cfg.scheduler_config.get("eta_min", optim_cfg.lr_min)
+    )
+    warmup_steps = int(
+        training_cfg.warmup_ratio * total_optimizer_steps
+    ) if training_cfg.warmup_ratio > 0 else 1
+    warmup_steps = max(1, warmup_steps)
+    return warmup_cosine_schedule(
+        optim_cfg.base_lr if base_lr is None else base_lr,
+        total_optimizer_steps,
+        warmup_steps,
+        training_cfg.warmup_init_factor,
+        eta_min,
+    )
+
+
 def make_optimizer(
     optim_cfg: OptimConfig,
     training_cfg: TrainingConfig,
@@ -72,21 +96,10 @@ def make_optimizer(
     moments — that's 2x the base model in HBM saved versus allocating state
     for parameters that never move.
     """
-    eta_min = float(
-        optim_cfg.scheduler_config.get("eta_min", optim_cfg.lr_min)
-    )
-    warmup_steps = int(
-        training_cfg.warmup_ratio * total_optimizer_steps
-    ) if training_cfg.warmup_ratio > 0 else 1
-    warmup_steps = max(1, warmup_steps)
 
     def group(base_lr: float) -> optax.GradientTransformation:
-        sched = warmup_cosine_schedule(
-            base_lr,
-            total_optimizer_steps,
-            warmup_steps,
-            training_cfg.warmup_init_factor,
-            eta_min,
+        sched = make_lr_schedule(
+            optim_cfg, training_cfg, total_optimizer_steps, base_lr
         )
         return optax.adamw(
             learning_rate=sched,

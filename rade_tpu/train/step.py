@@ -161,23 +161,39 @@ def make_train_step(
             loss = loss + adv_loss
         return loss, grads, batch_stats, rng
 
-    def train_step(state: TrainState, xb: jax.Array, yb: jax.Array):
-        """xb: (accum, micro_bs, T); yb: (accum, micro_bs)."""
+    def train_step(
+        state: TrainState, xb: jax.Array, yb: jax.Array, wb: jax.Array = None
+    ):
+        """xb: (accum, micro_bs, T); yb: (accum, micro_bs); wb: (accum,) or None.
+
+        `wb` marks valid micro-batches (1.0) vs padding (0.0).  The trailing
+        partial accumulation group of an epoch is padded to `accum` and run
+        with zero weights on the padding, reproducing the reference's partial
+        optimizer step on the last loader batch (`src/main.py:1100`
+        ``do_step = ... or (i + 1 == len(trn_loader))`` with grads still
+        divided by the full accumulation_steps).
+        """
         accum = xb.shape[0]
         rng, step_rng = jax.random.split(state.rng)
+        if wb is None:
+            wb = jnp.ones((accum,), jnp.float32)
 
         def body(carry, inp):
             grad_acc, batch_stats, rng = carry
-            x, y = inp
-            loss, grads, batch_stats, rng = micro_step(
+            x, y, w = inp
+            loss, grads, new_bs, rng = micro_step(
                 state.params, batch_stats, x, y, rng
             )
-            grads = jax.tree.map(lambda a, g: a + g / accum, grad_acc, grads)
-            return (grads, batch_stats, rng), loss
+            grads = jax.tree.map(lambda a, g: a + w * g / accum, grad_acc, grads)
+            # padded micro-batches must not advance BN running stats
+            batch_stats = jax.tree.map(
+                lambda n, o: jnp.where(w > 0, n, o), new_bs, batch_stats
+            )
+            return (grads, batch_stats, rng), w * loss
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         (grads, batch_stats, _), losses = jax.lax.scan(
-            body, (zero_grads, state.batch_stats, step_rng), (xb, yb)
+            body, (zero_grads, state.batch_stats, step_rng), (xb, yb, wb)
         )
 
         if state.trainable_mask is not None:
@@ -213,7 +229,7 @@ def make_train_step(
             step=state.step + 1,
             rng=rng,
         )
-        metrics = {"loss": jnp.mean(losses)}
+        metrics = {"loss": jnp.sum(losses) / jnp.maximum(jnp.sum(wb), 1.0)}
         return new_state, metrics
 
     return train_step
@@ -227,6 +243,12 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
     """
     use_oc = cfg.training.use_ocsoftmax
     use_bf16 = cfg.training.mixed_precision
+    # Pallas fused res-block scoring path (flagship sinc stream only):
+    # the XLA res-block stack is ~50% of inference (docs/BENCH_NOTES.md)
+    use_fast_sinc = bool(cfg.model_config.get("use_pallas_resblock")) and (
+        "DualStreamSEMamba" in cfg.architecture
+    )
+    sinc_channels = int(cfg.model_config.get("sinc_channels", 70))
 
     def eval_step(params, batch_stats, x):
         model_params = params["model"]
@@ -235,7 +257,18 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
             batch_stats = cast_tree(batch_stats, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
         variables = {"params": model_params, "batch_stats": batch_stats}
-        feats, logits = model.apply(variables, x, train=False)
+        if use_fast_sinc:
+            from rade_tpu.models.dual_stream_se_mamba import sinc_encoder_fast
+
+            sf = sinc_encoder_fast(
+                model_params["sinc_stream"], batch_stats["sinc_stream"], x,
+                sinc_channels=sinc_channels,
+            )
+            feats, logits = model.apply(
+                variables, x, train=False, sinc_features=sf
+            )
+        else:
+            feats, logits = model.apply(variables, x, train=False)
         feats = feats.astype(jnp.float32)
         logits = logits.astype(jnp.float32)
         if use_oc:
