@@ -64,6 +64,61 @@ class SincNetEncoder(nn.Module):
         return 64
 
 
+def sinc_encoder_fast(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    x: jax.Array,
+    sinc_channels: int = 70,
+    sinc_kernel: int = 128,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Eval-mode SincNetEncoder via the packed Pallas res-block chain.
+
+    Pure-function twin of :class:`SincNetEncoder` (same params/batch_stats
+    subtrees, taken at the ``sinc_stream`` key) with the six residual blocks
+    running as fused Pallas kernels (`kernels/resblock_packed.py`) — the
+    XLA path's ~6 HBM passes per block over the (B, 23, ~21k, C) activations
+    were ~50% of flagship inference (docs/BENCH_NOTES.md).  No freq-aug, no
+    BN updates: scoring only.  Parity test: tests/test_sinc_fast.py.
+    """
+    from rade_tpu.kernels.resblock_packed import resblock_chain_packed
+    from rade_tpu.nn.sinc import sinc_bandpass_bank
+
+    bank = jnp.asarray(
+        sinc_bandpass_bank(sinc_channels, sinc_kernel), x.dtype
+    )
+    e = jax.lax.conv_general_dilated(
+        x[:, None, :], bank[:, None, :], (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    e = jnp.abs(e)[..., None]  # (B, H=F, W=T, C=1)
+    e = nn.max_pool(e, window_shape=(3, 3), strides=(3, 3))
+    bn_p, bn_s = params["first_bn"], batch_stats["first_bn"]
+    inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + eps)
+    e = (
+        (e.astype(jnp.float32) - bn_s["mean"].astype(jnp.float32))
+        * inv * bn_p["scale"].astype(jnp.float32)
+        + bn_p["bias"].astype(jnp.float32)
+    )
+    e = jax.nn.selu(e).astype(x.dtype)
+
+    blocks = []
+    for i in range(6):
+        bp, bs = params[f"encoder_{i}"], batch_stats[f"encoder_{i}"]
+        entry = {
+            "w1": bp["conv1"]["kernel"], "b1": bp["conv1"]["bias"],
+            "bn_scale": bp["bn2"]["scale"], "bn_bias": bp["bn2"]["bias"],
+            "bn_mean": bs["bn2"]["mean"], "bn_var": bs["bn2"]["var"],
+            "w2": bp["conv2"]["kernel"], "b2": bp["conv2"]["bias"],
+        }
+        if "conv_downsample" in bp:
+            entry["wd"] = bp["conv_downsample"]["kernel"]
+            entry["bd"] = bp["conv_downsample"]["bias"]
+        blocks.append(entry)
+    e = resblock_chain_packed(e, blocks, eps=eps)
+    return jnp.max(jnp.abs(e), axis=1)  # (B, T', C)
+
+
 class SELayer(nn.Module):
     """1-D squeeze-excitation over (B, T, C) (`DualStreamSEMamba.py:492-531`)."""
 
@@ -163,14 +218,19 @@ class DualStreamSEMamba(nn.Module):
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False, freq_aug: bool = False,
-        freeze_bn: bool = False,
+        freeze_bn: bool = False, sinc_features: jax.Array = None,
     ) -> Tuple[jax.Array, jax.Array]:
         f_wavlm = WavLMFrontend(
             self.wavlm_cfg, weighting=self.wavlm_weighting, name="wavlm_stream"
         )(x, train)
-        f_sinc = SincNetEncoder(
-            self.sinc_channels, remat=self.sinc_remat, name="sinc_stream"
-        )(x, train, freq_aug, freeze_bn)
+        if sinc_features is not None:
+            # precomputed sinc stream (the Pallas fast path computes it
+            # outside the module via `sinc_encoder_fast` at scoring time)
+            f_sinc = sinc_features
+        else:
+            f_sinc = SincNetEncoder(
+                self.sinc_channels, remat=self.sinc_remat, name="sinc_stream"
+            )(x, train, freq_aug, freeze_bn)
         h = DualStreamFusion(self.emb_size, self.se_reduction, name="fusion")(
             f_wavlm, f_sinc, train
         )

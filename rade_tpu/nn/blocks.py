@@ -23,6 +23,9 @@ class ResBlock2D(nn.Module):
     in_ch: int
     out_ch: int
     first: bool = False  # config parity only; see module docstring
+    # the Fake-Mamba zoo's vendored Residual_block ships with the pool
+    # commented out (`fake_mamba_model.py:2278`); XLSR_AASIST relies on that
+    pool: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, freeze_bn: bool = False) -> jax.Array:
@@ -36,4 +39,6 @@ class ResBlock2D(nn.Module):
                 self.out_ch, (1, 3), padding=((0, 0), (1, 1)), name="conv_downsample"
             )(identity)
         out = out + identity
+        if not self.pool:
+            return out
         return nn.max_pool(out, window_shape=(1, 3), strides=(1, 3))
