@@ -31,9 +31,14 @@ class XLSRConformer(nn.Module):
 
     @classmethod
     def from_config(cls, model_config: Dict[str, Any]) -> "XLSRConformer":
-        variant = model_config.get("wavlm_variant", "large")
+        # default: faithful XLS-R 300m (plain-MHA wav2vec2 layout), like the
+        # reference's fairseq SSL stage (`fake_mamba_model.py:36-109`)
+        variant = model_config.get(
+            "ssl_variant", model_config.get("wavlm_variant", "xlsr300m")
+        )
         wcfg = {"large": WavLMConfig.large, "base": WavLMConfig.base,
-                "tiny": WavLMConfig.tiny}[variant](
+                "tiny": WavLMConfig.tiny, "xlsr300m": WavLMConfig.xlsr300m,
+                "xlsr_tiny": WavLMConfig.xlsr_tiny}[variant](
             remat=bool(model_config.get("wavlm_remat", True))
         )
         return cls(

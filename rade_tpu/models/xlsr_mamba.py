@@ -7,9 +7,11 @@ flipped backward, RMSNorm pre-norm residual blocks), per-direction final
 RMSNorm, per-direction attention pooling, concat -> Linear -> dropout ->
 classifier.
 
-SSL frontend substitution: the reference loads a fairseq XLSR-300m checkpoint
-(`xlsr_mamba_model.py:18-43`); fairseq is not in this environment, so the SSL
-stage is our WavLM encoder (same 1024-d, 20ms-frame interface).  Returns
+SSL frontend: by default the faithful XLS-R 300m layout — a wav2vec2-style
+encoder (plain MHA, no WavLM bias gating; `WavLMConfig.xlsr300m`), matching
+the reference's fairseq ``xlsr2_300m.pt`` (`xlsr_mamba_model.py:18-43`);
+import weights with `rade_tpu.nn.wavlm_convert.load_xlsr_checkpoint`.  Set
+``ssl_variant`` to 'large'/'base' for a WavLM frontend instead.  Returns
 ``(features, logits)`` per the framework contract (the reference returns
 logits only).
 """
@@ -62,9 +64,12 @@ class XLSRMamba(nn.Module):
 
     @classmethod
     def from_config(cls, model_config: Dict[str, Any]) -> "XLSRMamba":
-        variant = model_config.get("wavlm_variant", "large")
+        variant = model_config.get(
+            "ssl_variant", model_config.get("wavlm_variant", "xlsr300m")
+        )
         wcfg = {"large": WavLMConfig.large, "base": WavLMConfig.base,
-                "tiny": WavLMConfig.tiny}[variant](
+                "tiny": WavLMConfig.tiny, "xlsr300m": WavLMConfig.xlsr300m,
+                "xlsr_tiny": WavLMConfig.xlsr_tiny}[variant](
             remat=bool(model_config.get("wavlm_remat", True))
         )
         return cls(

@@ -88,6 +88,76 @@ class MambaMixer(nn.Module):
         return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
 
 
+class Mamba2Mixer(nn.Module):
+    """Mamba-2 (SSD) mixer: multi-head state space with scalar-per-head A.
+
+    The reference's `XLSX_SLS_Mamba2_Model` consumes a `JustBiMamba2` block
+    from a module it does not ship (`fake_mamba_model.py:1596`); this is the
+    Mamba-2 layer itself (in_proj -> conv over [x|B|C] -> SSD scan -> gated
+    RMSNorm -> out_proj).  The SSD recurrence is expressed through the same
+    selective-scan engine as Mamba-1 by broadcasting the per-head dt/A over
+    the head's channels (exactly equivalent math).
+    """
+
+    d_model: int
+    d_state: int = 64
+    d_conv: int = 4
+    expand: int = 2
+    headdim: int = 64
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_inner = self.expand * self.d_model
+        nheads = d_inner // self.headdim
+        N = self.d_state
+
+        zxbcdt = nn.Dense(
+            2 * d_inner + 2 * N + nheads, use_bias=False, name="in_proj"
+        )(x)
+        z, xs, Bm, Cm, dt = jnp.split(
+            zxbcdt, [d_inner, 2 * d_inner, 2 * d_inner + N, 2 * d_inner + 2 * N],
+            axis=-1,
+        )
+        # conv over the concatenated [x, B, C] channels (mamba2 layout)
+        xbc = jnp.concatenate([xs, Bm, Cm], axis=-1)
+        xbc = nn.Conv(
+            d_inner + 2 * N, (self.d_conv,),
+            padding=((self.d_conv - 1, 0),),
+            feature_group_count=d_inner + 2 * N,
+            name="conv1d",
+        )(xbc)
+        xbc = jax.nn.silu(xbc)
+        xs, Bm, Cm = jnp.split(xbc, [d_inner, d_inner + N], axis=-1)
+
+        dt_bias = self.param("dt_bias", _dt_proj_bias_init(), (nheads,))
+        dt = jax.nn.softplus(dt + dt_bias)  # (B, L, nheads)
+        A_log = self.param(
+            "A_log",
+            lambda key, shape: jnp.log(
+                jax.random.uniform(key, shape, jnp.float32, 1.0, 16.0)
+            ),
+            (nheads,),
+        )
+        Dp = self.param("D", nn.initializers.ones, (nheads,))
+
+        # broadcast per-head dt/A/D onto channels -> Mamba-1 scan layout
+        dt_c = jnp.repeat(dt, self.headdim, axis=-1)  # (B, L, d_inner)
+        A_c = jnp.repeat(-jnp.exp(A_log), self.headdim)[:, None] * jnp.ones(
+            (1, N), jnp.float32
+        )  # (d_inner, N), rows equal within a head
+        D_c = jnp.repeat(Dp, self.headdim)
+
+        scan = selective_scan_pallas if self.use_pallas else selective_scan
+        y = scan(xs, dt_c, A_c, Bm, Cm, D_c)
+        # gated RMSNorm (mamba2 RMSNormGated): rmsnorm(y * silu(z)) * scale
+        y = y * jax.nn.silu(z)
+        scale = self.param("norm_scale", nn.initializers.ones, (d_inner,))
+        var = jnp.mean(jnp.square(y.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = (y * jax.lax.rsqrt(var + 1e-5)).astype(y.dtype) * scale
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+
+
 class PNBiMambaEncoder(nn.Module):
     """Pre-norm bidirectional Mamba encoder with a shared mixer."""
 

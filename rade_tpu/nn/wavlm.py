@@ -61,6 +61,9 @@ class WavLMConfig:
     feat_proj_dropout: float = 0.0
     lora_rank: int = 0
     lora_alpha: int = 32
+    # 'wavlm' = gated relative-position-bias attention; 'plain' = standard
+    # MHA (wav2vec2 / XLS-R family — no bias table, no gate)
+    attention_type: str = "wavlm"
     remat: bool = False  # jax.checkpoint each encoder layer
     # stack layers 1..N-1 into one nn.scan: ~N-fold smaller traced/compiled
     # graph (WavLM-Large train-step compiles drop from tens of minutes to
@@ -91,6 +94,18 @@ class WavLMConfig:
             num_conv_pos_embedding_groups=4, num_buckets=40,
             max_bucket_distance=100, **kw,
         )
+
+    @classmethod
+    def xlsr300m(cls, **kw) -> "WavLMConfig":
+        """wav2vec2 XLS-R 300m (the reference's fairseq ``xlsr2_300m.pt``,
+        `/root/reference/models/official/xlsr_mamba_model.py:21-43`): same
+        dims as wavlm-large but plain MHA and no bias-table/gating."""
+        return cls(attention_type="plain", **kw)
+
+    @classmethod
+    def xlsr_tiny(cls, **kw) -> "WavLMConfig":
+        """Small plain-attention config for tests."""
+        return cls.tiny(attention_type="plain", **kw)
 
 
 def relative_position_buckets(
@@ -133,8 +148,9 @@ class WavLMAttention(nn.Module):
         bsz, L, E = x.shape
         H = cfg.num_attention_heads
         hd = E // H
+        plain = cfg.attention_type == "plain"
 
-        if position_bias is None:
+        if position_bias is None and not plain:
             buckets = relative_position_buckets(
                 L, L, cfg.num_buckets, cfg.max_bucket_distance
             )
@@ -145,16 +161,17 @@ class WavLMAttention(nn.Module):
             )
             position_bias = table[jnp.asarray(buckets)].transpose(2, 0, 1)  # (H, L, L)
 
-        # gated relative position bias from the pre-projection hidden states
-        gated = x.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)  # (B, H, L, hd)
-        rel_proj = nn.Dense(8, name="gru_rel_pos_linear")(gated)
-        rel_proj = rel_proj.reshape(bsz, H, L, 2, 4).sum(-1)
-        gate_a, gate_b = jnp.split(jax.nn.sigmoid(rel_proj), 2, axis=-1)  # (B,H,L,1)
-        gru_const = self.param(
-            "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1)
-        )
-        gate = gate_a * (gate_b * gru_const - 1.0) + 2.0  # (B, H, L, 1)
-        gated_bias = gate * position_bias[None]  # (B, H, L, L)
+        if not plain:
+            # gated relative position bias from the pre-projection hiddens
+            gated = x.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)  # (B,H,L,hd)
+            rel_proj = nn.Dense(8, name="gru_rel_pos_linear")(gated)
+            rel_proj = rel_proj.reshape(bsz, H, L, 2, 4).sum(-1)
+            gate_a, gate_b = jnp.split(jax.nn.sigmoid(rel_proj), 2, axis=-1)
+            gru_const = self.param(
+                "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1)
+            )
+            gate = gate_a * (gate_b * gru_const - 1.0) + 2.0  # (B, H, L, 1)
+            gated_bias = gate * position_bias[None]  # (B, H, L, L)
 
         def proj(name: str, inp):
             y = nn.Dense(E, name=name)(inp)
@@ -178,7 +195,9 @@ class WavLMAttention(nn.Module):
         k = k.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) + gated_bias
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if not plain:
+            logits = logits + gated_bias
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(cfg.attention_dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)

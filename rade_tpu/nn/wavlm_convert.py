@@ -79,9 +79,12 @@ def convert_hf_state_dict(
             "k_proj": dense(f"{t}.attention.k_proj"),
             "v_proj": dense(f"{t}.attention.v_proj"),
             "out_proj": dense(f"{t}.attention.out_proj"),
-            "gru_rel_pos_linear": dense(f"{t}.attention.gru_rel_pos_linear"),
-            "gru_rel_pos_const": sd[f"{t}.attention.gru_rel_pos_const"],
         }
+        # gated-rel-pos params exist only for WavLM-style attention; a plain
+        # wav2vec2/XLS-R checkpoint has none
+        if f"{t}.attention.gru_rel_pos_linear.weight" in sd:
+            attn["gru_rel_pos_linear"] = dense(f"{t}.attention.gru_rel_pos_linear")
+            attn["gru_rel_pos_const"] = sd[f"{t}.attention.gru_rel_pos_const"]
         if f"{t}.attention.rel_attn_embed.weight" in sd:
             attn["rel_attn_embed"] = sd[f"{t}.attention.rel_attn_embed.weight"]
         p[f"layers_{i}"] = {
@@ -98,6 +101,73 @@ def convert_hf_state_dict(
 
         p = stack_layer_params(p, cfg.num_hidden_layers)
     return p
+
+
+def _fairseq_key_to_hf(k: str):
+    """Map a fairseq wav2vec2 state_dict key to HF Wav2Vec2Model naming.
+
+    Covers the layout of the reference's ``xlsr2_300m.pt``
+    (`/root/reference/models/official/xlsr_mamba_model.py:21-43` loads it via
+    fairseq).  Returns None for keys with no flax counterpart (mask_emb,
+    quantizer, project_q, ...).
+    """
+    import re
+
+    m = re.match(r"feature_extractor\.conv_layers\.(\d+)\.(.+)", k)
+    if m:
+        i, rest = m.groups()
+        if rest.startswith("0."):  # block[0] = conv
+            return f"feature_extractor.conv_layers.{i}.conv.{rest[2:]}"
+        # block[2] = norm: '2.1.*' (layer_norm mode, nested TransposeLast
+        # Sequential) or '2.*' (group_norm mode, layer 0)
+        if re.fullmatch(r"2(\.1)?\.(weight|bias)", rest):
+            leaf = rest.rsplit(".", 1)[1]
+            return f"feature_extractor.conv_layers.{i}.layer_norm.{leaf}"
+        return None
+    if k.startswith("post_extract_proj."):
+        return "feature_projection.projection." + k.split(".", 1)[1]
+    if k in ("layer_norm.weight", "layer_norm.bias"):
+        return "feature_projection." + k
+    if k.startswith("encoder.pos_conv.0."):
+        return "encoder.pos_conv_embed.conv." + k.removeprefix("encoder.pos_conv.0.")
+    m = re.match(r"encoder\.layers\.(\d+)\.(.+)", k)
+    if m:
+        i, rest = m.groups()
+        rest = (
+            rest.replace("self_attn_layer_norm", "layer_norm")
+            .replace("self_attn.", "attention.")
+            .replace("fc1", "feed_forward.intermediate_dense")
+            .replace("fc2", "feed_forward.output_dense")
+        )
+        return f"encoder.layers.{i}.{rest}"
+    if k.startswith("encoder.layer_norm."):
+        return k  # final encoder LayerNorm: same name in HF
+    return None
+
+
+def convert_fairseq_state_dict(
+    state_dict: Dict[str, Any], cfg: WavLMConfig
+) -> Dict[str, Any]:
+    """fairseq wav2vec2/XLS-R state_dict -> flax params (plain attention)."""
+    renamed = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("w2v_encoder.w2v_model.")  # fine-tuned ckpts
+        nk = _fairseq_key_to_hf(k)
+        if nk is not None:
+            renamed[nk] = v
+    return convert_hf_state_dict(renamed, cfg)
+
+
+def load_xlsr_checkpoint(path: str, cfg: WavLMConfig) -> Dict[str, Any]:
+    """Load ``xlsr2_300m.pt`` (fairseq) or an HF wav2vec2 torch checkpoint."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = raw.get("model", raw.get("state_dict", raw)) if isinstance(raw, dict) else raw
+    if any(k.startswith("post_extract_proj") or ".self_attn." in k for k in sd):
+        return convert_fairseq_state_dict(sd, cfg)
+    sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
+    return convert_hf_state_dict(sd, cfg)
 
 
 def load_pretrained(model_dir: str, cfg: WavLMConfig) -> Dict[str, Any]:

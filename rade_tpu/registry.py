@@ -51,6 +51,10 @@ _BUILTIN = {
     "MoEMambaASV": ("rade_tpu.models.moe_mamba", "MoEMambaASV"),
     "XLSRMamba": ("rade_tpu.models.xlsr_mamba", "XLSRMamba"),
     "XLSRConformer": ("rade_tpu.models.xlsr_conformer", "XLSRConformer"),
+    # zoo stragglers the reference vendors unimportably (fake_mamba_model.py)
+    "XLSRTransformer": ("rade_tpu.models.xlsr_zoo", "XLSRTransformer"),
+    "XLSRAASIST": ("rade_tpu.models.xlsr_zoo", "XLSRAASIST"),
+    "XLSRSLSMamba2": ("rade_tpu.models.xlsr_zoo", "XLSRSLSMamba2"),
 }
 
 

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from rade_tpu.config import ExperimentConfig
 from rade_tpu.tools.export import build_scorer, export_scorer, load_scorer
 
+pytestmark = pytest.mark.slow  # jit-compiles model forwards on the CPU mesh
+
 TINY_CONF = {
     "database_path": "",
     "asv_score_path": "",

@@ -11,6 +11,8 @@ from rade_tpu.config import ExperimentConfig
 from rade_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from rade_tpu.train.loop import Experiment
 
+pytestmark = pytest.mark.slow  # compiles full train steps on the CPU mesh
+
 
 def _conf(training=None, model=None):
     return ExperimentConfig.from_dict({

@@ -10,6 +10,8 @@ from rade_tpu.config import ExperimentConfig
 from rade_tpu.parallel.mesh import make_mesh
 from rade_tpu.train.step import cast_tree
 
+pytestmark = pytest.mark.slow  # compiles full train steps on the CPU mesh
+
 
 def _tiny_conf(**training_overrides):
     conf = {

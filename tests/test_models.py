@@ -7,6 +7,8 @@ import pytest
 
 from rade_tpu.registry import available, build_model
 
+pytestmark = pytest.mark.slow  # jit-compiles model forwards on the CPU mesh
+
 
 def _init_and_forward(model, T, train=False):
     rng = jax.random.PRNGKey(0)

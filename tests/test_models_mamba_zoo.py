@@ -7,6 +7,8 @@ import pytest
 
 from rade_tpu.registry import build_model
 
+pytestmark = pytest.mark.slow  # jit-compiles model forwards on the CPU mesh
+
 
 def _run(mc, T):
     model = build_model(mc)

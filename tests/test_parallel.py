@@ -8,6 +8,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rade_tpu.parallel.mesh import DATA_AXIS, make_mesh, pad_batch_to_devices
 
+pytestmark = pytest.mark.slow  # compiles full train steps on the CPU mesh
+
 
 def test_mesh_has_8_devices():
     mesh = make_mesh()

@@ -12,6 +12,8 @@ from rade_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from rade_tpu.train.checkpoint import restore_state, save_state
 from rade_tpu.train.loop import Experiment
 
+pytestmark = pytest.mark.slow  # compiles full train steps on the CPU mesh
+
 
 def _cfg():
     return ExperimentConfig.from_dict({

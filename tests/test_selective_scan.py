@@ -15,6 +15,8 @@ from rade_tpu.kernels.selective_scan import (
     selective_scan_ref,
 )
 
+pytestmark = pytest.mark.slow  # jit-compiles model forwards on the CPU mesh
+
 
 def _rand_inputs(bsz=2, L=37, D=24, N=8, seed=0):
     rng = np.random.RandomState(seed)

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from rade_tpu.registry import build_model
 from rade_tpu.tools.import_torch import convert_aasist, strip_module_prefix
 
+pytestmark = pytest.mark.slow  # jit-compiles model forwards on the CPU mesh
+
 REF = Path("/root/reference/models/AASIST.py")
 
 AASIST_ARGS = {

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from rade_tpu.registry import build_model
 from rade_tpu.tools.import_torch import convert_dual_stream
 
+pytestmark = pytest.mark.slow  # compiles full train steps on the CPU mesh
+
 REF_ROOT = Path("/root/reference")
 
 TINY_HF = dict(

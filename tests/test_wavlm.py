@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from rade_tpu.nn.wavlm import WavLMConfig, WavLMFrontend, WavLMModel, wavlm_frozen_paths
 from rade_tpu.nn.wavlm_convert import convert_hf_state_dict
 
+pytestmark = pytest.mark.slow  # jit-compiles model forwards on the CPU mesh
+
 
 def _tiny_hf_config():
     from transformers import WavLMConfig as HFConfig
