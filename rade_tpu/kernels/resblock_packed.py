@@ -154,9 +154,18 @@ def _resblock_packed_kernel(
     xw[WT + 2: WT + 4, :] = fill.astype(xw.dtype)
 
     xf = xw[:]  # (WT+4, L_in), compute dtype (bf16 on TPU)
+
+    def lane_roll(a, shift):
+        # Mosaic lane rotate is 32-bit only: roll a f32 copy, cast back
+        if a.dtype.itemsize == 4:
+            return pltpu.roll(a, shift=shift, axis=1)
+        return pltpu.roll(a.astype(jnp.float32), shift=shift, axis=1).astype(
+            a.dtype
+        )
+
     # conv1 H-taps: out row r uses in rows r-1 (dh=0) and r (dh=1);
     # the dh=0 roll brings row r-1 into lane block r
-    xrolls = (pltpu.roll(xf, shift=Cin, axis=1), xf)
+    xrolls = (lane_roll(xf, Cin), xf)
 
     # z col jz covers true col (t-1)*WT - 1 + jz; mask cols outside [0, W)
     jz = jax.lax.broadcasted_iota(jnp.int32, (WT + 2, 1), 0)
@@ -185,12 +194,12 @@ def _resblock_packed_kernel(
     zb = zbuf[:]
     # conv2 H-taps: out row r uses z rows r (dh=0) and r+1 (dh=1); the
     # negative lane shift is expressed as its positive circular equivalent
-    zrolls = (zb, pltpu.roll(zb, shift=zb.shape[-1] - Cout, axis=1))
+    zrolls = (zb, lane_roll(zb, zb.shape[-1] - Cout))
 
     # int32 iota: Mosaic has no f32 iota lowering
     kk = jax.lax.broadcasted_iota(jnp.int32, (WT // 3, WT), 0)
     ww = jax.lax.broadcasted_iota(jnp.int32, (WT // 3, WT), 1)
-    sel = (ww == 3 * kk).astype(jnp.float32)  # picks cols 3k
+    sel = (ww == 3 * kk).astype(xf.dtype)  # picks cols 3k
 
     for j in range(T_out):
         acc = None
@@ -220,10 +229,13 @@ def _resblock_packed_kernel(
             )
         y = acc + b2_ref[0, j * LANE: (j + 1) * LANE].astype(jnp.float32)[None, :]
         # maxpool(1,3) stride 3: running max of two circular rolls, then a
-        # 0/1 selection matmul picks cols 3k (wrap never lands on a pick)
+        # 0/1 selection matmul picks cols 3k (wrap never lands on a pick);
+        # operands in the compute dtype (bf16 on TPU) to halve VMEM
         m = jnp.maximum(y, pltpu.roll(y, shift=WT - 1, axis=0))
         m = jnp.maximum(m, pltpu.roll(y, shift=WT - 2, axis=0))
-        pooled = jax.lax.dot(sel, m, preferred_element_type=jnp.float32)
+        pooled = jax.lax.dot(
+            sel, m.astype(xf.dtype), preferred_element_type=jnp.float32
+        )
         out_ref[0, :, j * LANE: (j + 1) * LANE] = pooled.astype(out_ref.dtype)
 
     # slide the lag window
@@ -339,6 +351,37 @@ def fused_resblock_packed(
     return out
 
 
+def _pick_wt(w_true: int, Cin: int, Cout: int, H: int,
+             budget_bytes: int = 13 * 1024 * 1024, itemsize: int = 2) -> int:
+    """Largest 24-multiple W tile that fits the ~16MB scoped-VMEM limit.
+
+    Rough model of the kernel's resident buffers: pipeline in/out blocks
+    (double-buffered), lag window, z buffer, tap-tile weights, the pool
+    selection matrix and f32 per-tile temporaries.
+    """
+    H1 = H + 1
+    L_in = _ceil_to(H * Cin, LANE)
+    L_z = _ceil_to(H1 * Cout, LANE)
+    L_out = _ceil_to(H * Cout, LANE)
+    w_tiles = (6 * (L_z // LANE) + 9 * (L_out // LANE)) * LANE * LANE * itemsize
+
+    def usage(wt: int) -> int:
+        return (
+            2 * wt * L_in * itemsize            # input double buffer
+            + (wt + 4) * L_in * itemsize        # lag window
+            + (wt + 2) * L_z * itemsize         # z buffer
+            + 2 * (wt // 3) * L_out * itemsize  # output double buffer
+            + (wt // 3) * wt * itemsize         # pool selection matrix
+            + 6 * wt * LANE * 4                 # f32 acc/y/m temporaries
+            + w_tiles
+        )
+
+    for wt in (2400, 1800, 1200, 960, 720, 600, 480, 360, 240, 120, 72, 48, 24):
+        if wt <= max(24, _ceil_to(w_true, 24)) and usage(wt) <= budget_bytes:
+            return wt
+    return 24
+
+
 def resblock_chain_packed(
     x: jax.Array, blocks_params: Sequence[dict], *, eps: float = 1e-5,
     wt_table: Optional[Sequence[int]] = None,
@@ -357,8 +400,10 @@ def resblock_chain_packed(
         if wt_table is not None and i < len(wt_table):
             wt = wt_table[i]
         else:
-            # cover small W in one tile; cap the tile for VMEM
-            wt = min(_ceil_to(w_true, 24), 1200)
+            wt = _pick_wt(
+                w_true, bp["w1"].shape[2], bp["w1"].shape[3], H,
+                itemsize=x.dtype.itemsize,
+            )
         p = fused_resblock_packed(
             p[:, :w_true], H,
             bp["w1"], bp["b1"], bp["bn_scale"], bp["bn_bias"],

@@ -356,7 +356,10 @@ class Experiment:
         # donate the state: old params/EMA/opt buffers are reused in place,
         # halving peak state memory on the chip
         self.train_step = jax.jit(
-            make_train_step(self.model, cfg, self.tx), donate_argnums=(0,)
+            make_train_step(
+                self.model, cfg, self.tx, trainable_mask=self.trainable_mask
+            ),
+            donate_argnums=(0,),
         )
         replicated = NamedSharding(self.mesh, P())
         state = TrainState.create(

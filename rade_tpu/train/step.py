@@ -131,11 +131,48 @@ def make_train_step(
     model,
     cfg: ExperimentConfig,
     tx: optax.GradientTransformation,
+    trainable_mask=None,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the jit-able one-optimizer-step function over a macro-batch."""
+    """Build the jit-able one-optimizer-step function over a macro-batch.
+
+    ``trainable_mask`` (the STATIC 1/0 python-float tree from
+    `make_trainable_mask`, not the traced copy in the state) restricts
+    differentiation to trainable leaves: `jax.grad` then never emits the
+    frozen params' weight-gradient matmuls, so XLA prunes e.g. the whole
+    WavLM-base dW computation under LoRA and the entire (frozen) CNN
+    feature-extractor backward — in BOTH FGM passes.  Frozen grads are
+    structural zeros.
+    """
     tc = cfg.training
     loss_fn = make_loss_fn(model, cfg)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if trainable_mask is None:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    else:
+        mask_leaves = [
+            float(m) > 0 for m in jax.tree_util.tree_leaves(trainable_mask)
+        ]
+
+        def grad_fn(params, *args):
+            flat, treedef = jax.tree_util.tree_flatten(params)
+            assert len(flat) == len(mask_leaves)
+            t_idx = [i for i, t in enumerate(mask_leaves) if t]
+
+            def wrt(t_leaves, frozen_flat):
+                leaves = list(frozen_flat)
+                for i, v in zip(t_idx, t_leaves):
+                    leaves[i] = v
+                return loss_fn(
+                    jax.tree_util.tree_unflatten(treedef, leaves), *args
+                )
+
+            out, g_t = jax.value_and_grad(wrt, has_aux=True)(
+                [flat[i] for i in t_idx], flat
+            )
+            g_flat = [jnp.zeros_like(p) for p in flat]
+            for i, g in zip(t_idx, g_t):
+                g_flat[i] = g
+            return out, jax.tree_util.tree_unflatten(treedef, g_flat)
 
     def micro_step(params, batch_stats, x, y, rng):
         rng, k_drop, k_freq, k_mix, k_drop2, k_freq2, k_aug = jax.random.split(rng, 7)
