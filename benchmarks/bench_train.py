@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(micro_bs: int = 16, accum: int = 2):
+def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -25,6 +25,17 @@ def main(micro_bs: int = 16, accum: int = 2):
     cfg = ge._phase6_cfg(tiny=False)
     cfg.batch_size = micro_bs
     cfg.training.accumulation_steps = accum
+    if "noremat" in flags:
+        cfg.model_config["wavlm_remat"] = False
+    if "nosincremat" in flags:
+        cfg.model_config["sinc_remat"] = False
+    if "noaug" in flags:
+        cfg.data.on_device_aug = False
+        cfg.data.use_rawboost = False
+        cfg.data.use_codec_aug = False
+    if "nofgm" in flags:
+        cfg.training.use_fgm = False
+    print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0)
     state = exp.setup_training(steps_per_epoch=100)
 
@@ -59,4 +70,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 16,
         int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+        sys.argv[3] if len(sys.argv) > 3 else "",
     )
