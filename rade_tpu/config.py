@@ -82,6 +82,12 @@ class TrainingConfig:
     use_fgm: bool = False
     fgm_epsilon: float = 0.5
     fgm_emb_name: str = "feature_projection"
+    # TPU-native extension: compute the SincNet stream once per micro-batch
+    # and share its activations across both FGM passes (the perturbation
+    # targets `feature_projection`, which the sinc stream never sees) —
+    # its parameter gradient is recovered exactly from ONE backward with the
+    # two passes' cotangents summed (VJP linearity).  Requires freeze_bn.
+    fgm_share_frontend: bool = True
     use_mixup: bool = False
     mixup_alpha: float = 1.0
     eval_diag_interval: int = 0
@@ -98,7 +104,7 @@ class TrainingConfig:
         for key in (
             "use_ocsoftmax", "use_supcon", "use_lora", "use_focal_loss",
             "freeze_bn", "freeze_sincnet", "use_ema", "use_swa", "use_fgm",
-            "use_mixup", "mixed_precision",
+            "use_mixup", "mixed_precision", "fgm_share_frontend",
         ):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])

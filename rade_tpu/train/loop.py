@@ -113,16 +113,15 @@ class Experiment:
         if cfg.training.use_lora and "lora_r" not in model_config:
             model_config["lora_r"] = cfg.training.lora_r
             model_config["lora_alpha"] = cfg.training.lora_alpha
-        # the Pallas scan has a native Pallas backward kernel
-        # (kernels/selective_scan.py), but at the Phase-6 sequence length
-        # (L=202, 2 chunks) the associative-scan autodiff measures faster on
-        # v5e (45 vs 57 ms fwd+bwd per fused BiMamba call) while the Pallas
-        # forward is the fastest scoring path.  Default: train on the
-        # associative scan, score with the Pallas kernel (shared params);
-        # `use_pallas_scan_training` opts training onto the native backward
-        # (wins at longer sequences, where chunking amortizes).
+        # the Pallas scan's native backward (kernels/selective_scan.py)
+        # measures 7.6 ms fwd+bwd per fused BiMamba call at the Phase-6
+        # shapes (32, 201, 288, 16) vs 29.4 ms for associative-scan autodiff
+        # — and keeps the (B, L, N, D) state in VMEM instead of HBM, which
+        # also shrinks the training footprint.  Default: train AND score on
+        # the Pallas kernel; `use_pallas_scan_training: false` opts training
+        # back onto the differentiable associative scan (CPU meshes, debug).
         if model_config.get("use_pallas_scan") and not model_config.get(
-            "use_pallas_scan_training"
+            "use_pallas_scan_training", True
         ):
             self.model = build_model({**model_config, "use_pallas_scan": False})
             self.eval_model = build_model(model_config)

@@ -51,8 +51,19 @@ def _fgm_mask(params, emb_name: str):
     return jax.tree_util.tree_map_with_path(match, params)
 
 
-def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
-    """(params, batch_stats, x, y_soft, y_hard, rngs, train) -> (loss, new_bs, logits)."""
+def make_loss_fn(model, cfg: ExperimentConfig) -> Tuple[Callable, Callable]:
+    """Returns ``(prep_inputs, loss_fn)``.
+
+    ``prep_inputs(x, y, aug_rng, mixup_rng) -> (x_in, y_a, y_b, lam)`` runs
+    the on-device augmentation + mixup — param-independent input work that
+    must NOT sit inside the differentiated region: with FGM both passes
+    attack the same (augmented, mixed) batch (`main.py:1087` reuses the
+    batch), so hoisting it out of ``loss_fn`` halves the RawBoost/codec
+    FIR work per micro-batch and keeps it out of remat recomputes.
+
+    ``loss_fn(params, batch_stats, x_in, y_a, y_b, lam, rngs) ->
+    (loss, (new_batch_stats, logits))`` is the differentiated part.
+    """
     tc = cfg.training
 
     def compute(logits, feats, loss_params, targets_soft, y_hard):
@@ -73,12 +84,11 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
             base = base + tc.lambda_supcon * L.supcon_loss(feats_n, y_hard)
         return base
 
-    def loss_fn(params, batch_stats, x, y, rngs, mixup_rng):
-        n_cls = 2
+    def prep_inputs(x, y, aug_rng, mixup_rng):
         if cfg.data.on_device_aug:
             from rade_tpu.augment.rawboost_jax import augment_batch
 
-            x = augment_batch(rngs["aug"], x, cfg.data)
+            x = augment_batch(aug_rng, x, cfg.data)
         if tc.use_mixup and x.shape[0] > 1:
             k_lam, k_perm = jax.random.split(mixup_rng)
             lam = jax.random.beta(k_lam, tc.mixup_alpha, tc.mixup_alpha)
@@ -88,7 +98,10 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
         else:
             lam = jnp.float32(1.0)
             x_in, y_a, y_b = x, y, y
+        return x_in, y_a, y_b, lam
 
+    def loss_fn(params, batch_stats, x_in, y_a, y_b, lam, rngs, sinc_features=None):
+        n_cls = 2
         model_params = params["model"]
         bs_in = batch_stats
         if tc.mixed_precision:
@@ -102,10 +115,11 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
             x_in = x_in.astype(jnp.bfloat16)
         variables = {"params": model_params, "batch_stats": bs_in}
         mutable = False if tc.freeze_bn else ["batch_stats"]
+        extra = {} if sinc_features is None else {"sinc_features": sinc_features}
         out = model.apply(
             variables, x_in,
             train=True, freq_aug=cfg.freq_aug, freeze_bn=tc.freeze_bn,
-            rngs=rngs, mutable=mutable,
+            rngs=rngs, mutable=mutable, **extra,
         )
         if mutable:
             (feats, logits), updates = out
@@ -124,7 +138,7 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
         loss = lam * loss_a + (1.0 - lam) * loss_b
         return loss, (new_bs, logits)
 
-    return loss_fn
+    return prep_inputs, loss_fn
 
 
 def make_train_step(
@@ -144,55 +158,134 @@ def make_train_step(
     structural zeros.
     """
     tc = cfg.training
-    loss_fn = make_loss_fn(model, cfg)
+    prep_inputs, loss_fn = make_loss_fn(model, cfg)
+
+    # FGM frontend sharing: the perturbation targets `fgm_emb_name`
+    # (feature_projection — inside the WavLM stream), so the SincNet stream's
+    # activations are IDENTICAL in both passes.  Compute them once per
+    # micro-batch with jax.vjp and feed both passes; the sinc parameter
+    # gradient is exact from one backward with the two cotangents summed
+    # (VJP is linear in the cotangent).  Needs freeze_bn (no running-stat
+    # side effects to replay) and a model that accepts `sinc_features`.
+    share_frontend = (
+        tc.use_fgm
+        and tc.fgm_share_frontend
+        and tc.freeze_bn
+        and "DualStreamSEMamba" in cfg.architecture
+    )
+    if share_frontend:
+        from rade_tpu.models.dual_stream_se_mamba import SincNetEncoder
+
+        sinc_mod = SincNetEncoder(
+            sinc_channels=int(cfg.model_config.get("sinc_channels", 70)),
+            remat=bool(cfg.model_config.get("sinc_remat", False)),
+        )
 
     if trainable_mask is None:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def grad_fn_sf(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf):
+            (out, aux), (g_p, g_sf) = jax.value_and_grad(
+                loss_fn, argnums=(0, 7), has_aux=True
+            )(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf)
+            return (out, aux), g_p, g_sf
     else:
         mask_leaves = [
             float(m) > 0 for m in jax.tree_util.tree_leaves(trainable_mask)
         ]
 
-        def grad_fn(params, *args):
+        def _masked_grads(params, args, sf):
+            """grads wrt trainable leaves (+ sf cotangent when sf is given)."""
             flat, treedef = jax.tree_util.tree_flatten(params)
             assert len(flat) == len(mask_leaves)
             t_idx = [i for i, t in enumerate(mask_leaves) if t]
 
-            def wrt(t_leaves, frozen_flat):
+            def wrt(t_leaves, sf_in, frozen_flat):
                 leaves = list(frozen_flat)
                 for i, v in zip(t_idx, t_leaves):
                     leaves[i] = v
                 return loss_fn(
-                    jax.tree_util.tree_unflatten(treedef, leaves), *args
+                    jax.tree_util.tree_unflatten(treedef, leaves), *args,
+                    sinc_features=sf_in,
                 )
 
-            out, g_t = jax.value_and_grad(wrt, has_aux=True)(
-                [flat[i] for i in t_idx], flat
+            argnums = 0 if sf is None else (0, 1)
+            out, g = jax.value_and_grad(wrt, argnums=argnums, has_aux=True)(
+                [flat[i] for i in t_idx], sf, flat
             )
+            g_t, g_sf = (g, None) if sf is None else g
             g_flat = [jnp.zeros_like(p) for p in flat]
-            for i, g in zip(t_idx, g_t):
-                g_flat[i] = g
-            return out, jax.tree_util.tree_unflatten(treedef, g_flat)
+            for i, gi in zip(t_idx, g_t):
+                g_flat[i] = gi
+            return out, jax.tree_util.tree_unflatten(treedef, g_flat), g_sf
+
+        def grad_fn(params, *args):
+            out, grads, _ = _masked_grads(params, args, None)
+            return out, grads
+
+        def grad_fn_sf(params, *args_sf):
+            *args, sf = args_sf
+            return _masked_grads(params, tuple(args), sf)
+
+    def _perturb_adv(params, grads):
+        fmask = _fgm_mask(params, tc.fgm_emb_name)
+
+        def perturb(p, m, g):
+            norm = jnp.linalg.norm(g)
+            delta = jnp.where(norm > 0, tc.fgm_epsilon * g / (norm + 1e-12), 0.0)
+            return p + m * delta
+
+        return jax.tree.map(perturb, params, fmask, grads)
 
     def micro_step(params, batch_stats, x, y, rng):
         rng, k_drop, k_freq, k_mix, k_drop2, k_freq2, k_aug = jax.random.split(rng, 7)
-        rngs = {"dropout": k_drop, "freq_aug": k_freq, "aug": k_aug}
+        # aug + mixup once, outside the differentiated region: FGM attacks
+        # the same (augmented, mixed) batch (`main.py:1087`)
+        x_in, y_a, y_b, lam = prep_inputs(x, y, k_aug, k_mix)
+
+        if share_frontend:
+            def sinc_fwd(sp):
+                bs_c = batch_stats["sinc_stream"]
+                x_c = x_in
+                if tc.mixed_precision:
+                    sp = cast_tree(sp, jnp.bfloat16)
+                    bs_c = cast_tree(bs_c, jnp.bfloat16)
+                    x_c = x_c.astype(jnp.bfloat16)
+                return sinc_mod.apply(
+                    {"params": sp, "batch_stats": bs_c}, x_c,
+                    train=True, freq_aug=cfg.freq_aug, freeze_bn=True,
+                    rngs={"freq_aug": k_freq},
+                )
+
+            sf, sinc_vjp = jax.vjp(sinc_fwd, params["model"]["sinc_stream"])
+            rngs = {"dropout": k_drop}
+            (loss, (batch_stats, _)), grads, g_sf = grad_fn_sf(
+                params, batch_stats, x_in, y_a, y_b, lam, rngs, sf
+            )
+            params_adv = _perturb_adv(params, grads)
+            rngs_adv = {"dropout": k_drop2}
+            (adv_loss, (batch_stats, _)), adv_grads, g_sf2 = grad_fn_sf(
+                params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, sf
+            )
+            grads = jax.tree.map(jnp.add, grads, adv_grads)
+            (d_sinc,) = sinc_vjp(g_sf + g_sf2)
+            d_sinc = jax.tree.map(
+                jnp.add, grads["model"]["sinc_stream"], d_sinc
+            )
+            grads = {
+                **grads, "model": {**grads["model"], "sinc_stream": d_sinc},
+            }
+            return loss + adv_loss, grads, batch_stats, rng
+
+        rngs = {"dropout": k_drop, "freq_aug": k_freq}
         (loss, (batch_stats, _)), grads = grad_fn(
-            params, batch_stats, x, y, rngs, k_mix
+            params, batch_stats, x_in, y_a, y_b, lam, rngs
         )
         if tc.use_fgm:
-            fmask = _fgm_mask(params, tc.fgm_emb_name)
-
-            def perturb(p, m, g):
-                norm = jnp.linalg.norm(g)
-                delta = jnp.where(norm > 0, tc.fgm_epsilon * g / (norm + 1e-12), 0.0)
-                return p + m * delta
-
-            params_adv = jax.tree.map(perturb, params, fmask, grads)
-            # same aug key: FGM attacks the same (augmented, mixed) batch
-            rngs_adv = {"dropout": k_drop2, "freq_aug": k_freq2, "aug": k_aug}
+            params_adv = _perturb_adv(params, grads)
+            rngs_adv = {"dropout": k_drop2, "freq_aug": k_freq2}
             (adv_loss, (batch_stats, _)), adv_grads = grad_fn(
-                params_adv, batch_stats, x, y, rngs_adv, k_mix
+                params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv
             )
             grads = jax.tree.map(jnp.add, grads, adv_grads)
             loss = loss + adv_loss
@@ -248,15 +341,23 @@ def make_train_step(
         ema_params = state.ema_params
         if ema_params is not None:
             d = tc.ema_decay
+
+            def ema_upd(e, p, m=1.0):
+                # frozen leaves: ema starts as a copy of params
+                # (TrainState.create) and the param never moves, so
+                # d*e+(1-d)*p == e exactly — skip the HBM traffic
+                return d * e + (1.0 - d) * p if float(m) > 0 else e
+
             # reference EMA wraps the model only; loss params (OC-Softmax
             # center) stay live for scoring (torch AveragedModel(model))
-            ema_params = {
-                "model": jax.tree.map(
-                    lambda e, p: d * e + (1.0 - d) * p,
-                    ema_params["model"], params["model"],
-                ),
-                "loss": params.get("loss", {}),
-            }
+            if trainable_mask is not None:
+                ema_model = jax.tree.map(
+                    ema_upd, ema_params["model"], params["model"],
+                    trainable_mask["model"],
+                )
+            else:
+                ema_model = jax.tree.map(ema_upd, ema_params["model"], params["model"])
+            ema_params = {"model": ema_model, "loss": params.get("loss", {})}
 
         new_state = state.replace(
             params=params,

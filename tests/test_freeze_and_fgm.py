@@ -108,3 +108,22 @@ def test_fgm_changes_the_update():
     head_f = _leaf(after_fgm["model"], "classifier", "kernel")
     assert not np.array_equal(head_p, head_f)  # adversarial grads folded in
     assert np.isfinite(loss_f) and loss_f >= loss_p * 0.5  # fgm loss includes 2nd pass
+
+
+def test_fgm_shared_frontend_matches_unshared():
+    """fgm_share_frontend computes the sinc stream once for both FGM passes;
+    the update must be IDENTICAL to the two-pass recompute (VJP linearity) —
+    freq_aug off so there is no second mask draw to replay."""
+    t = {"use_fgm": True, "fgm_epsilon": 0.5, "freeze_bn": True,
+         "use_mixup": True, "mixup_alpha": 1.0}
+    _, after_s, loss_s = _one_step(_conf(training={**t, "fgm_share_frontend": True}), seed=7)
+    _, after_u, loss_u = _one_step(_conf(training={**t, "fgm_share_frontend": False}), seed=7)
+    assert abs(loss_s - loss_u) < 1e-5 * max(1.0, abs(loss_u))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(after_s),
+        jax.tree_util.tree_leaves_with_path(after_u),
+    ):
+        assert pa == pb
+        # cotangents summed before ONE backward vs two backwards then summed:
+        # same math, different float association -> tiny reassociation noise
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5, err_msg=str(pa))
