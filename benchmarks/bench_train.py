@@ -35,6 +35,10 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.data.use_codec_aug = False
     if "nofgm" in flags:
         cfg.training.use_fgm = False
+    if "noshare" in flags:
+        cfg.training.fgm_share_frontend = False
+    if "noscantrain" in flags:
+        cfg.model_config["use_pallas_scan_training"] = False
     print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0)
     state = exp.setup_training(steps_per_epoch=100)
