@@ -39,6 +39,8 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.training.fgm_share_frontend = False
     if "noscantrain" in flags:
         cfg.model_config["use_pallas_scan_training"] = False
+    if "nofastrng" in flags:
+        cfg.training.fast_rng = False
     print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0)
     state = exp.setup_training(steps_per_epoch=100)

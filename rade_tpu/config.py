@@ -95,6 +95,11 @@ class TrainingConfig:
     # TPU-native extension: bf16 compute with f32 master weights/optimizer
     # (replaces the reference's AMP fp16 + GradScaler; bf16 needs no scaler)
     mixed_precision: bool = False
+    # TPU-native extension: 'rbg' jax PRNG (hardware RngBitGenerator) for
+    # dropout-mask generation — the threefry masks on the (B, 201, 1024)
+    # WavLM activations measured ~72 ms/step on v5e.  Keys saved in
+    # checkpoints are impl-shaped: resume with the same setting.
+    fast_rng: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
@@ -104,7 +109,7 @@ class TrainingConfig:
         for key in (
             "use_ocsoftmax", "use_supcon", "use_lora", "use_focal_loss",
             "freeze_bn", "freeze_sincnet", "use_ema", "use_swa", "use_fgm",
-            "use_mixup", "mixed_precision", "fgm_share_frontend",
+            "use_mixup", "mixed_precision", "fgm_share_frontend", "fast_rng",
         ):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])

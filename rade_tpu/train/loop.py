@@ -129,6 +129,9 @@ class Experiment:
             self.model = build_model(model_config)
             self.eval_model = self.model
         self.nb_samp = int(cfg.model_config.get("nb_samp", 64600))
+        if cfg.training.fast_rng:
+            # hardware RngBitGenerator for dropout masks (see TrainingConfig)
+            jax.config.update("jax_default_prng_impl", "rbg")
         self.rng = jax.random.PRNGKey(seed)
 
         # --- init params ---

@@ -322,8 +322,12 @@ def make_train_step(
             return (grads, batch_stats, rng), w * loss
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        # unrolling the micro-batch loop lets XLA schedule across micro-batches
+        # and drops the while-loop's stacked-residual reverse in the backward;
+        # accum is small (2-4) so code-size stays bounded
         (grads, batch_stats, _), losses = jax.lax.scan(
-            body, (zero_grads, state.batch_stats, step_rng), (xb, yb, wb)
+            body, (zero_grads, state.batch_stats, step_rng), (xb, yb, wb),
+            unroll=True,
         )
 
         if state.trainable_mask is not None:
