@@ -16,17 +16,59 @@ from typing import Optional
 from flax import serialization
 
 
+def _fetch(tree):
+    """One bulk device->host transfer before serializing.
+
+    ``flax.serialization.to_bytes`` calls ``np.asarray`` leaf-by-leaf as the
+    msgpack encoder walks the tree — on the axon TPU relay each of those is a
+    synchronous round-trip, which serializes a multi-GB WavLM-Large train
+    state into minutes of blocking readbacks.  ``jax.device_get`` on the
+    whole tree issues every copy up front and overlaps them.
+    """
+    import jax
+
+    return jax.device_get(tree)
+
+
 def save_state(path, state) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
+        f.write(serialization.to_bytes(_fetch(state)))
 
 
 def restore_state(path, template):
     """Restore into a structurally-identical template state."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = f.read()
+    try:
+        return serialization.from_bytes(template, raw)
+    except Exception as e:
+        raise ValueError(
+            f"{path} does not hold a full train state ({e}); best/swa files "
+            "carry scoring weights only (reference parity) — resume from a "
+            "checkpoint_epoch_* file, or load this one via load_eval_weights"
+        ) from e
+
+
+def scoring_tree(state):
+    """Reduced checkpoint for best/swa files: scoring weights only.
+
+    Reference parity: the torch trainer's EER-stamped best files and
+    ``best.pth``/``swa.pth`` hold ``model.state_dict()`` — no optimizer state
+    (`/root/reference/src/main.py:616-618,634-638,686-687`).  Keeping that
+    shape here cuts best-epoch save traffic ~2.5x (the optimizer tree stays
+    on device); full-state files for `--resume` are the periodic
+    ``checkpoint_epoch_*`` saves.  The layout matches the full-TrainState
+    branch of :func:`load_eval_weights` (``params``/``ema_params``/
+    ``batch_stats``).
+    """
+    return {
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "batch_stats": state.batch_stats,
+        "step": state.step,
+    }
 
 
 def save_params(path, params) -> None:
@@ -100,9 +142,12 @@ class CheckpointManager:
         self._best_file: Optional[Path] = None
 
     def save_best(self, state, epoch: int, dev_eer: float) -> Path:
-        """EER-stamped best file; deletes the previous best (`main.py:602-618`)."""
+        """EER-stamped best file; deletes the previous best (`main.py:602-618`).
+
+        Scoring weights only, like the reference's ``epoch_{e}_{eer}.pth``.
+        """
         path = self.dir / f"epoch_{epoch}_{dev_eer:03.3f}.ckpt"
-        save_state(path, state)
+        save_state(path, scoring_tree(state))
         if self._best_file is not None and self._best_file.exists():
             self._best_file.unlink()
         self._best_file = path
@@ -120,9 +165,11 @@ class CheckpointManager:
             old.unlink()
         return path
 
-    def save_named(self, state, name: str) -> Path:
+    def save_named(self, state, name: str, scoring_only: bool = True) -> Path:
+        """``best``/``swa`` snapshots — scoring weights by default, matching
+        the reference's ``best.pth``/``swa.pth`` model-state-dict files."""
         path = self.dir / f"{name}.ckpt"
-        save_state(path, state)
+        save_state(path, scoring_tree(state) if scoring_only else state)
         return path
 
     @property

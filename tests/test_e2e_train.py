@@ -129,15 +129,32 @@ def test_checkpoint_roundtrip(run_summary):
     from rade_tpu.train.loop import Experiment
 
     run_dir = out_dir / "LA_tiny_ep1_bs8"
-    ckpts = sorted((run_dir / "weights").glob("epoch_*.ckpt"))
-    assert ckpts
+    # periodic checkpoint_epoch_* files hold the FULL train state (resume)
+    full_ckpts = sorted((run_dir / "weights").glob("checkpoint_epoch_*.ckpt"))
+    assert full_ckpts
     conf = json.loads((run_dir / "config.conf").read_text())
     cfg = EC.from_dict(conf)
     exp = Experiment(cfg, seed=5)
     state = exp.setup_training(steps_per_epoch=1)
-    restored = restore_state(ckpts[0], state)
+    restored = restore_state(full_ckpts[0], state)
     assert int(restored.step) > 0
     # restored params differ from fresh init (training moved them)
     fresh_leaf = jax.tree.leaves(state.params)[0]
     rest_leaf = jax.tree.leaves(restored.params)[0]
     assert fresh_leaf.shape == rest_leaf.shape
+
+    # EER-stamped best files hold scoring weights only (reference parity:
+    # the torch epoch_{e}_{eer}.pth is model.state_dict()); they load via
+    # load_eval_weights but REFUSE a full-state restore
+    from rade_tpu.train.checkpoint import load_eval_weights
+
+    best_ckpts = sorted((run_dir / "weights").glob("epoch_*.ckpt"))
+    assert best_ckpts
+    params, batch_stats = load_eval_weights(
+        best_ckpts[0], state.params, state.batch_stats
+    )
+    assert jax.tree.leaves(params)[0].shape == fresh_leaf.shape
+    import pytest
+
+    with pytest.raises(ValueError, match="scoring weights"):
+        restore_state(best_ckpts[0], state)
