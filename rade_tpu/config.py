@@ -100,6 +100,13 @@ class TrainingConfig:
     # WavLM activations measured ~72 ms/step on v5e.  Keys saved in
     # checkpoints are impl-shaped: resume with the same setting.
     fast_rng: bool = False
+    # TPU-native extensions: checkpoint policy.  Defaults reproduce the
+    # reference (EER-stamped best file per new-best epoch, periodic
+    # full-state saves every 10 epochs).  On a tunneled device (the axon
+    # relay moves ~5 MB/s device->host) saves dominate wall-clock; turn
+    # best saves off / periodic saves down for throughput experiments.
+    save_best_ckpt: bool = True
+    checkpoint_interval: int = 10  # periodic full-state saves; 0 disables
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
@@ -110,6 +117,7 @@ class TrainingConfig:
             "use_ocsoftmax", "use_supcon", "use_lora", "use_focal_loss",
             "freeze_bn", "freeze_sincnet", "use_ema", "use_swa", "use_fgm",
             "use_mixup", "mixed_precision", "fgm_share_frontend", "fast_rng",
+            "save_best_ckpt",
         ):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])
@@ -127,13 +135,21 @@ class DataConfig:
     # TPU-native extension: run RawBoost/codec as jnp inside the train step
     # (fused on-device batches) instead of per-sample host numpy/scipy
     on_device_aug: bool = False
+    # TPU-native extension: upload the (deterministically padded, clean)
+    # train set to HBM once and gather shuffled micro-batches on device —
+    # removes ALL per-step host->device batch traffic (on a tunneled
+    # device that traffic dominates wall-clock).  `pad_random`'s crop
+    # becomes an on-device per-sample circular time shift; host-side
+    # RawBoost/codec must be off (use on_device_aug).  Single-process only.
+    device_cache: bool = False
+    device_cache_max_gb: float = 4.0
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DataConfig":
         d = _drop_comments(d)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        for key in ("use_rawboost", "use_codec_aug", "on_device_aug"):
+        for key in ("use_rawboost", "use_codec_aug", "on_device_aug", "device_cache"):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])
         return cls(**kwargs)

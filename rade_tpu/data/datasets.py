@@ -65,6 +65,18 @@ class TrainDataset:
         x = pad_random(x, self.cut, rng=self.rng)
         return x.astype(np.float32), self.labels[key]
 
+    def load_clean(self, index: int) -> Tuple[np.ndarray, int]:
+        """Deterministically padded CLEAN waveform + label.
+
+        The device-resident dataset cache path (`data_config.device_cache`)
+        uploads these once; the random-crop augmentation (`pad_random`)
+        becomes an on-device per-sample circular time shift, and
+        RawBoost/codec run on device (`on_device_aug`).
+        """
+        key = self.keys[index]
+        x, _ = read_utterance(self.base_dir, key)
+        return pad(x, self.cut).astype(np.float32), self.labels[key]
+
 
 class EvalDataset:
     """Dev/eval set: deterministic padding, returns (waveform, utt_key)."""

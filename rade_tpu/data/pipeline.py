@@ -46,14 +46,20 @@ class TrainBatcher:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def epoch_indices(self, epoch_idx: int) -> Iterator[np.ndarray]:
+        """This process's dataset indices per micro-batch (seeded shuffle)."""
         rng = np.random.RandomState(self.seed + 1000003 * epoch_idx)
         order = rng.permutation(len(self.dataset))
         n_batches = len(self)
         per = self.batch_size // self.process_count
         lo = self.process_index * per
         for b in range(n_batches):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size][lo : lo + per]
+            yield order[
+                b * self.batch_size : (b + 1) * self.batch_size
+            ][lo : lo + per].astype(np.int32)
+
+    def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for idxs in self.epoch_indices(epoch_idx):
             xs, ys = zip(*(self.dataset[int(i)] for i in idxs))
             yield np.stack(xs), np.asarray(ys, dtype=np.int32)
 

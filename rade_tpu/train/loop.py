@@ -195,6 +195,8 @@ class Experiment:
         self.state: Optional[TrainState] = None
         self.tx = None
         self.train_step = None
+        self._device_cache = None
+        self._cached_step = None
 
         self._load_ssl_pretrained(model_config)
         if cfg.pretrained_weights and Path(cfg.pretrained_weights).exists():
@@ -419,6 +421,91 @@ class Experiment:
         )
 
     # ---------------------------------------------------------------- running
+    # --------------------------------------------- device-resident data cache
+    def _use_device_cache(self) -> bool:
+        d = self.cfg.data
+        host_aug = not d.on_device_aug and (d.use_rawboost or d.use_codec_aug)
+        return bool(d.device_cache) and not host_aug and jax.process_count() == 1
+
+    def _build_device_cache(self, batcher: TrainBatcher):
+        """Upload the clean, deterministically padded train set to HBM once."""
+        ds = batcher.dataset
+        n, t = len(ds), self.nb_samp
+        gib = n * t * 4 / 1e9
+        if gib > float(self.cfg.data.device_cache_max_gb):
+            print(
+                f"device_cache: train set {gib:.1f} GB exceeds "
+                f"device_cache_max_gb={self.cfg.data.device_cache_max_gb} — "
+                "falling back to the host batch pipeline"
+            )
+            return None
+        xs = np.empty((n, t), np.float32)
+        ys = np.empty((n,), np.int32)
+        for i in range(n):
+            xs[i], ys[i] = ds.load_clean(i)
+        rep = NamedSharding(self.mesh, P())
+        return jax.device_put(xs, rep), jax.device_put(ys, rep)
+
+    def _make_cached_step(self):
+        from rade_tpu.train.step import make_train_step
+
+        base = make_train_step(
+            self.model, self.cfg, self.tx, trainable_mask=self.trainable_mask
+        )
+        sharding = self._batch_sharding
+
+        def cached(state, x_all, y_all, idx, shift, ws):
+            xb = jnp.take(x_all, idx, axis=0)  # (accum, per, T) device gather
+            yb = jnp.take(y_all, idx, axis=0)
+            # per-sample circular time shift: the on-device stand-in for the
+            # host `pad_random` crop (the cache holds deterministic padding)
+            a, b, t = xb.shape
+            flat = xb.reshape(a * b, t)
+            rolled = jax.vmap(jnp.roll)(flat, shift.reshape(-1))
+            xb = rolled.reshape(a, b, t)
+            xb = jax.lax.with_sharding_constraint(xb, sharding)
+            yb = jax.lax.with_sharding_constraint(yb, sharding)
+            return base(state, xb, yb, ws)
+
+        return jax.jit(cached, donate_argnums=(0,))
+
+    def _train_epoch_cached(self, batcher: TrainBatcher, epoch: int) -> float:
+        accum = max(1, self.cfg.training.accumulation_steps)
+        x_all, y_all = self._device_cache
+        if self._cached_step is None:
+            self._cached_step = self._make_cached_step()
+        shift_rng = np.random.RandomState(
+            (self.seed * 2654435761 + 97 * epoch) % (2**31 - 1)
+        )
+        t = self.nb_samp
+        losses = []
+        group: list = []
+
+        def flush():
+            n_valid = len(group)
+            while len(group) < accum:  # trailing partial group, zero-weighted
+                group.append(np.zeros_like(group[0]))
+            ws = np.zeros((accum,), np.float32)
+            ws[:n_valid] = 1.0
+            idx = np.stack(group)
+            shift = shift_rng.randint(0, t, size=idx.shape).astype(np.int32)
+            self.state, metrics = self._cached_step(
+                self.state, x_all, y_all, jnp.asarray(idx),
+                jnp.asarray(shift), jnp.asarray(ws),
+            )
+            losses.append(metrics["loss"])
+            group.clear()
+
+        for idxs in batcher.epoch_indices(epoch):
+            group.append(idxs)
+            if len(group) == accum:
+                flush()
+        if group:
+            flush()
+        if not losses:
+            return float("nan")
+        return float(np.mean(jax.device_get(losses)))
+
     def train_one_epoch(self, batcher: TrainBatcher, epoch: int) -> float:
         """Group micro-batches into macro-batches of `accum` and step.
 
@@ -427,6 +514,12 @@ class Experiment:
         reference has no profiler at all).
         """
         import os
+
+        if self._use_device_cache():
+            if self._device_cache is None:  # False = tried and fell back
+                self._device_cache = self._build_device_cache(batcher) or False
+            if self._device_cache:
+                return self._train_epoch_cached(batcher, epoch)
 
         profile_dir = os.environ.get("RADE_PROFILE_DIR")
         if profile_dir and epoch == 0:
@@ -581,7 +674,8 @@ def run_training(
         eval_eer = eval_tdcf = None
         if dev_eer < best_dev_eer:
             best_dev_eer = dev_eer
-            weights.save_best(exp.state, epoch, dev_eer)
+            if cfg.training.save_best_ckpt:
+                weights.save_best(exp.state, epoch, dev_eer)
             if cfg.eval_all_best:
                 eval_score = run_dir / cfg.eval_output
                 exp.score_split(evl, eval_proto, eval_score)
@@ -616,7 +710,8 @@ def run_training(
             "time": time.time(),
         })
 
-        if epoch % 10 == 0:
+        ckpt_every = cfg.training.checkpoint_interval
+        if ckpt_every and epoch % ckpt_every == 0:
             weights.save_periodic(exp.state, epoch)
 
         # optional per-attack diagnostics on the full eval set
