@@ -36,6 +36,11 @@ from rade_tpu.train.state import TrainState
 from rade_tpu.train.step import make_eval_step, make_train_step
 
 
+@jax.jit
+def _jit_swa_snapshot(state: TrainState) -> TrainState:
+    return state.swa_snapshot()
+
+
 def _bridge_wavlm_layout(src, template):
     """Convert a checkpoint's WavLM encoder layout to the target's.
 
@@ -372,6 +377,7 @@ class Experiment:
             tx=self.tx,
             rng=jax.random.fold_in(self.rng, 7),
             use_ema=cfg.training.use_ema,
+            use_swa=cfg.training.use_swa,
             trainable_mask=self.trainable_mask,
         )
         self.state = jax.device_put(state, replicated)
@@ -687,9 +693,10 @@ def run_training(
                 if eval_tdcf < best_eval_tdcf:
                     best_eval_tdcf, best_eval_eer = eval_tdcf, eval_eer
                     weights.save_named(exp.state, "best")
-            # SWA snapshot on every new-best epoch (reference `main.py:643-645`)
+            # SWA snapshot on every new-best epoch (reference `main.py:643-645`);
+            # jitted: one fused kernel instead of ~10^3 eager per-leaf dispatches
             if cfg.training.use_swa:
-                exp.state = exp.state.swa_snapshot()
+                exp.state = _jit_swa_snapshot(exp.state)
 
         step_now = int(jax.device_get(exp.state.step))
         n_utts = len(trn) * cfg.batch_size
@@ -727,7 +734,11 @@ def run_training(
             log_fn(f"  diag per-attack EER: {worst}")
 
     # final: SWA swap + BN update + eval (reference `main.py:671-687`)
-    if cfg.training.use_swa and exp.state.swa_params is not None:
+    if (
+        cfg.training.use_swa
+        and exp.state.swa_params is not None
+        and int(jax.device_get(exp.state.n_swa)) > 0
+    ):
         exp.state = exp.state.replace(params=exp.state.swa_params, ema_params=None)
         # full train loader, like torchcontrib's bn_update (`src/main.py:671-673`)
         exp.bn_update(trn)

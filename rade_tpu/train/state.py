@@ -35,14 +35,19 @@ class TrainState:
         tx: optax.GradientTransformation,
         rng: jax.Array,
         use_ema: bool = False,
+        use_swa: bool = False,
         trainable_mask=None,
     ) -> "TrainState":
+        # swa_params is pre-allocated (zeros, n_swa=0) rather than grown on the
+        # first snapshot: flipping None -> tree would change the state's pytree
+        # structure mid-run and force the donated jit'd train step to recompile
+        # after the first new-best epoch (~10 min of wall on the flagship).
         return cls(
             params=params,
             batch_stats=batch_stats,
             opt_state=tx.init(params),
             ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
-            swa_params=None,
+            swa_params=jax.tree.map(jnp.zeros_like, params) if use_swa else None,
             n_swa=jnp.zeros((), jnp.int32),
             step=jnp.zeros((), jnp.int32),
             rng=rng,
@@ -55,12 +60,20 @@ class TrainState:
         return self.ema_params if self.ema_params is not None else self.params
 
     def swa_snapshot(self) -> "TrainState":
-        """Running average of new-best epoch weights (torchcontrib-SWA style)."""
-        n = self.n_swa.astype(jnp.float32)
-        if self.swa_params is None:
-            new_swa = jax.tree.map(jnp.copy, self.params)
-        else:
-            new_swa = jax.tree.map(
-                lambda s, p: (s * n + p) / (n + 1.0), self.swa_params, self.params
+        """Running average of new-best epoch weights (torchcontrib-SWA style).
+
+        With the pre-allocated zero tree and ``n_swa == 0`` the first snapshot
+        reduces to ``(0*0 + p) / 1 = p``, so no None special-case is needed and
+        the pytree structure never changes.
+        """
+        if self.swa_params is None:  # use_swa off; snapshot called directly
+            return self.replace(
+                swa_params=jax.tree.map(jnp.copy, self.params),
+                n_swa=self.n_swa + 1,
             )
+        n = self.n_swa.astype(jnp.float32)
+        new_swa = jax.tree.map(
+            lambda s, p: (s * n + p.astype(s.dtype)) / (n + 1.0),
+            self.swa_params, self.params,
+        )
         return self.replace(swa_params=new_swa, n_swa=self.n_swa + 1)

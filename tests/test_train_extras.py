@@ -106,3 +106,51 @@ def test_filter_dirty_protocol(tmp_path):
     kept = clean.read_text().splitlines()
     assert len(kept) == 90
     assert all("KEY_000" not in ln or int(ln.split()[1][4:]) >= 10 for ln in kept)
+
+
+# ---------------------------------------------------------------------- SWA
+def _tiny_state(use_swa):
+    import optax
+    from rade_tpu.train.state import TrainState
+
+    params = {"w": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([0.5])}
+    tx = optax.sgd(0.1)
+    return TrainState.create(
+        params=params, batch_stats={}, tx=tx,
+        rng=jax.random.PRNGKey(0), use_ema=True, use_swa=use_swa,
+    )
+
+
+def test_swa_snapshot_structure_stable():
+    """snapshot must NOT change the state pytree structure: a None->tree flip
+    would force the donated jit'd train step to recompile after the first
+    new-best epoch (observed as a ~550 s epoch-1 stall on the flagship)."""
+    state = _tiny_state(use_swa=True)
+    before = jax.tree_util.tree_structure(state)
+    snapped = state.swa_snapshot()
+    assert jax.tree_util.tree_structure(snapped) == before
+    # and pre-allocation means swa_params exists (zeros) from step 0
+    assert state.swa_params is not None
+    np.testing.assert_allclose(np.asarray(state.swa_params["w"]), 0.0)
+
+
+def test_swa_snapshot_running_mean():
+    state = _tiny_state(use_swa=True)
+    # first snapshot == params exactly (zeros tree, n=0)
+    s1 = state.swa_snapshot()
+    np.testing.assert_allclose(np.asarray(s1.swa_params["w"]), [1.0, 2.0])
+    assert int(s1.n_swa) == 1
+    # move params, snapshot again -> arithmetic mean of the two snapshots
+    s2 = s1.replace(params={"w": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([1.5])})
+    s3 = s2.swa_snapshot()
+    np.testing.assert_allclose(np.asarray(s3.swa_params["w"]), [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(s3.swa_params["b"]), [1.0])
+    assert int(s3.n_swa) == 2
+
+
+def test_swa_snapshot_lazy_fallback():
+    # direct use without pre-allocation still works (use_swa off)
+    state = _tiny_state(use_swa=False)
+    assert state.swa_params is None
+    s1 = state.swa_snapshot()
+    np.testing.assert_allclose(np.asarray(s1.swa_params["w"]), [1.0, 2.0])
