@@ -196,6 +196,7 @@ class DualStreamSEMamba(nn.Module):
             lora_alpha=int(model_config.get("lora_alpha", 32)),
             remat=bool(model_config.get("wavlm_remat", True)),
             scan_layers=bool(model_config.get("wavlm_scan_layers", False)),
+            flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
         )
         if wavlm_variant == "large":
             wcfg = WavLMConfig.large(**kw)

@@ -66,7 +66,8 @@ class MoEMambaASV(nn.Module):
         variant = model_config.get("wavlm_variant", "large")
         wcfg = {"large": WavLMConfig.large, "base": WavLMConfig.base,
                 "tiny": WavLMConfig.tiny}[variant](
-            remat=bool(model_config.get("wavlm_remat", True))
+            remat=bool(model_config.get("wavlm_remat", True)),
+            flash_attention=bool(model_config.get("wavlm_flash_attention", False))
         )
         return cls(
             emb_size=int(model_config.get("emb_size", 144)),

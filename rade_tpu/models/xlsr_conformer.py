@@ -39,7 +39,8 @@ class XLSRConformer(nn.Module):
         wcfg = {"large": WavLMConfig.large, "base": WavLMConfig.base,
                 "tiny": WavLMConfig.tiny, "xlsr300m": WavLMConfig.xlsr300m,
                 "xlsr_tiny": WavLMConfig.xlsr_tiny}[variant](
-            remat=bool(model_config.get("wavlm_remat", True))
+            remat=bool(model_config.get("wavlm_remat", True)),
+            flash_attention=bool(model_config.get("wavlm_flash_attention", False))
         )
         return cls(
             emb_size=int(model_config.get("emb_size", 144)),

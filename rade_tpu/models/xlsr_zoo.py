@@ -51,7 +51,10 @@ def _ssl_cfg(model_config: Dict[str, Any]) -> WavLMConfig:
     variant = model_config.get(
         "ssl_variant", model_config.get("wavlm_variant", "xlsr300m")
     )
-    return _SSL_VARIANTS[variant](remat=bool(model_config.get("wavlm_remat", True)))
+    return _SSL_VARIANTS[variant](
+        remat=bool(model_config.get("wavlm_remat", True)),
+        flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+    )
 
 
 def _whole_tensor_bn(h, train, freeze_bn, name="first_bn"):

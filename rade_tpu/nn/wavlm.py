@@ -71,6 +71,10 @@ class WavLMConfig:
     # become one `layers_scan` tree with a leading layer axis (converters in
     # `stack_layer_params` / `unstack_layer_params`).
     scan_layers: bool = False
+    # fuse the eval-path attention (Pallas flash kernel, kernels/attention.py):
+    # train-path keeps the unfused einsum because the recipe applies attention
+    # dropout on the probabilities, which the kernel does not support
+    flash_attention: bool = False
 
     @classmethod
     def large(cls, **kw) -> "WavLMConfig":
@@ -195,12 +199,17 @@ class WavLMAttention(nn.Module):
         k = k.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-        if not plain:
-            logits = logits + gated_bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(cfg.attention_dropout, deterministic=not train)(probs)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if cfg.flash_attention and not train:
+            from rade_tpu.kernels.attention import fused_bias_attention
+
+            out = fused_bias_attention(q, k, v, None if plain else gated_bias)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            if not plain:
+                logits = logits + gated_bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(cfg.attention_dropout, deterministic=not train)(probs)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(bsz, L, E)
         out = nn.Dense(E, name="out_proj")(out)
         return out, position_bias
