@@ -135,12 +135,15 @@ class DataConfig:
     # TPU-native extension: run RawBoost/codec as jnp inside the train step
     # (fused on-device batches) instead of per-sample host numpy/scipy
     on_device_aug: bool = False
-    # TPU-native extension: upload the (deterministically padded, clean)
-    # train set to HBM once and gather shuffled micro-batches on device —
-    # removes ALL per-step host->device batch traffic (on a tunneled
-    # device that traffic dominates wall-clock).  `pad_random`'s crop
-    # becomes an on-device per-sample circular time shift; host-side
-    # RawBoost/codec must be off (use on_device_aug).  Single-process only.
+    # TPU-native extension: upload the clean train set to HBM once and
+    # gather shuffled micro-batches on device — removes ALL per-step
+    # host->device batch traffic (on a tunneled device that traffic
+    # dominates wall-clock).  `pad_random`'s crop becomes an on-device
+    # per-sample circular time shift; utterances longer than nb_samp are
+    # cached from ONE random (seeded) crop start per run, so per-epoch
+    # re-cropping of long-utterance tails is approximated, not exact.
+    # Host-side RawBoost/codec must be off (use on_device_aug).
+    # Single-process only.
     device_cache: bool = False
     device_cache_max_gb: float = 4.0
 

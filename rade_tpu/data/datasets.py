@@ -66,15 +66,25 @@ class TrainDataset:
         return x.astype(np.float32), self.labels[key]
 
     def load_clean(self, index: int) -> Tuple[np.ndarray, int]:
-        """Deterministically padded CLEAN waveform + label.
+        """CLEAN waveform cropped/tiled to `cut` + label, for the cache.
 
         The device-resident dataset cache path (`data_config.device_cache`)
         uploads these once; the random-crop augmentation (`pad_random`)
         becomes an on-device per-sample circular time shift, and
         RawBoost/codec run on device (`on_device_aug`).
+
+        Long utterances get a RANDOM (seeded) crop start, not `pad`'s head
+        crop — a head crop would permanently hide all audio beyond the
+        first ~4 s from training.  The start is still fixed for the run
+        (host `pad_random` re-draws it every epoch): that residual
+        divergence is inherent to caching one copy and is documented on the
+        `device_cache` config flag.
         """
         key = self.keys[index]
         x, _ = read_utterance(self.base_dir, key)
+        if len(x) > self.cut:
+            start = self.rng.randint(0, len(x) - self.cut + 1)
+            x = x[start:start + self.cut]
         return pad(x, self.cut).astype(np.float32), self.labels[key]
 
 

@@ -46,7 +46,10 @@ def reference_bias_attention(
 def _block_sizes(lp: int, hd: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    b = min(512, lp)
+    # the kernel requires block | sequence; lp is always a multiple of 128,
+    # so pick the largest 128-multiple divisor of lp that is <= 512
+    b = next(c for c in (512, 384, 256, 128) if lp % c == 0)
+    b = min(b, lp)
     return BlockSizes(
         block_q=b, block_k_major=b, block_k=b, block_b=1,
         # backward blocks are required by the dataclass but unused on the
@@ -81,12 +84,20 @@ def fused_bias_attention(
     if pad:
         zpad = [(0, 0), (0, 0), (0, pad), (0, 0)]
         q, k, v = (jnp.pad(t, zpad) for t in (q, k, v))
+    segment_ids = None
     if bias is None:
-        # mask the padded keys so they contribute zero probability
-        bias_p = jnp.zeros((1, 1, lp, lp), q.dtype)
+        # plain MHA (XLS-R-style models): never materialize an O(L^2) bias
+        # of zeros — mask the padded keys with segment ids instead (padded
+        # positions get segment 1, live positions 0)
+        bias_p = None
         if pad:
-            bias_p = bias_p.at[..., L:].set(_NEG_INF)
-        bias_p = jnp.broadcast_to(bias_p, (B, H, lp, lp))
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+            )
+
+            seg = (jnp.arange(lp) >= L).astype(jnp.int32)[None, :]
+            seg = jnp.broadcast_to(seg, (B, lp))
+            segment_ids = SegmentIds(q=seg, kv=seg)
     else:
         bias_p = jnp.broadcast_to(bias, (B, H, L, L))
         if pad:
@@ -94,8 +105,9 @@ def fused_bias_attention(
                 bias_p, [(0, 0), (0, 0), (0, pad), (0, pad)],
                 constant_values=_NEG_INF,
             )
+        bias_p = bias_p.astype(q.dtype)
     out = flash_attention(
-        q, k, v, ab=bias_p.astype(q.dtype), sm_scale=1.0,
+        q, k, v, ab=bias_p, segment_ids=segment_ids, sm_scale=1.0,
         block_sizes=_block_sizes(lp, hd),
     )
     return out[:, :, :L, :] if pad else out

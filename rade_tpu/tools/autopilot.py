@@ -26,16 +26,15 @@ def latest_epoch(metric_log: Path) -> int:
     trainer; the ``metric_log.txt`` regex scrape is kept as a fallback for
     pre-scalars run dirs (and reference-style logs).
     """
-    import json
-
     scalars = metric_log.parent / "metrics" / "scalars.jsonl"
     if scalars.exists():
-        last = -1
-        for line in scalars.read_text().splitlines():
-            try:
-                last = max(last, int(json.loads(line).get("epoch", -1)))
-            except (ValueError, json.JSONDecodeError):
-                continue
+        from rade_tpu.tools.plot_metrics import load_scalars
+
+        try:
+            rows = load_scalars(str(scalars))
+        except FileNotFoundError:
+            rows = []
+        last = max((int(r.get("epoch", -1)) for r in rows), default=-1)
         if last >= 0:
             return last
     if not metric_log.exists():

@@ -44,6 +44,27 @@ def restore_state(path, template):
     try:
         return serialization.from_bytes(template, raw)
     except Exception as e:
+        # Distinguish the two failure shapes so the error does not tell a
+        # user who DID pass a checkpoint_epoch_* file to go find one: a
+        # reduced best/swa file has no opt_state, while a genuine full-state
+        # file that still fails has a structure mismatch (e.g. written by a
+        # different config, or by an older code version with a different
+        # TrainState layout).
+        is_full = False
+        try:
+            import msgpack
+
+            is_full = "opt_state" in msgpack.unpackb(raw, strict_map_key=False)
+        except Exception:
+            pass
+        if is_full:
+            raise ValueError(
+                f"{path} holds a full train state but its structure does not "
+                f"match this run's TrainState ({e}) — was it written by a "
+                "different config (model/optimizer/EMA/SWA flags) or an "
+                "older version? Warm-start the weights instead via "
+                "--pretrained_weights (strict=False merge)"
+            ) from e
         raise ValueError(
             f"{path} does not hold a full train state ({e}); best/swa files "
             "carry scoring weights only (reference parity) — resume from a "
@@ -79,25 +100,42 @@ def restore_params(path, template):
     return restore_state(path, template)
 
 
-def merge_matching(template, raw):
+def merge_matching(template, raw, stats=None):
     """Best-effort partial load: copy leaves whose path AND shape match the
     template, keep the template value elsewhere (the reference's
-    `load_state_dict(strict=False)` semantics, `src/main.py:245-258`)."""
+    `load_state_dict(strict=False)` semantics, `src/main.py:245-258`).
+
+    ``stats``, if given, is a dict whose ``"loaded"``/``"kept"`` counters are
+    incremented per leaf so callers can report how much actually matched.
+    """
     import numpy as np
+
+    def _count(key, tree):
+        if stats is not None:
+            import jax
+
+            stats[key] = stats.get(key, 0) + len(jax.tree.leaves(tree))
 
     if isinstance(template, dict):
         if not isinstance(raw, dict):
+            _count("kept", template)
             return template
-        return {
-            k: merge_matching(v, raw[k]) if k in raw else v
-            for k, v in template.items()
-        }
+        out = {}
+        for k, v in template.items():
+            if k in raw:
+                out[k] = merge_matching(v, raw[k], stats)
+            else:
+                _count("kept", v)
+                out[k] = v
+        return out
     try:
         arr = np.asarray(raw)
         if arr.shape == np.shape(template):
+            _count("loaded", template)
             return arr.astype(np.asarray(template).dtype)
     except Exception:
         pass
+    _count("kept", template)
     return template
 
 

@@ -134,9 +134,16 @@ class Experiment:
             self.model = build_model(model_config)
             self.eval_model = self.model
         self.nb_samp = int(cfg.model_config.get("nb_samp", 64600))
-        if cfg.training.fast_rng:
-            # hardware RngBitGenerator for dropout masks (see TrainingConfig)
-            jax.config.update("jax_default_prng_impl", "rbg")
+        # hardware RngBitGenerator for dropout masks (see TrainingConfig).
+        # The impl must be the process default (raw keys carry no impl
+        # metadata through the jit'd step's splits), so set it BOTH ways:
+        # a fast_rng=false Experiment built after a fast_rng=true one must
+        # not silently inherit rbg (its checkpoints would be unrestorable
+        # in a fresh threefry process).
+        jax.config.update(
+            "jax_default_prng_impl",
+            "rbg" if cfg.training.fast_rng else "threefry2x32",
+        )
         self.rng = jax.random.PRNGKey(seed)
 
         # --- init params ---
@@ -219,34 +226,53 @@ class Experiment:
         path = model_config.get("wavlm_pretrained") or model_config.get(
             "ssl_checkpoint"
         )
-        if not path or not Path(path).exists():
+        if not path:
+            return
+        if not Path(path).exists():
+            # A typo'd path must not silently train the SSL stage from
+            # random init (the reference crashes on a missing checkpoint).
+            print(
+                f"WARNING: ssl_checkpoint/wavlm_pretrained '{path}' does not "
+                "exist — the SSL frontend keeps its RANDOM initialization"
+            )
             return
         wcfg = getattr(self.model, "wavlm_cfg", None)
         if wcfg is None:
             print(f"ssl_checkpoint set but {self.cfg.architecture} has no SSL stage")
             return
         from rade_tpu.nn.wavlm_convert import load_pretrained, load_xlsr_checkpoint
+        from rade_tpu.train.checkpoint import merge_matching
 
         converted = (
             load_pretrained(path, wcfg)
             if Path(path).is_dir()
             else load_xlsr_checkpoint(path, wcfg)
         )
+        # merge_matching, not a strict tree.map: the live tree may carry
+        # leaves the checkpoint lacks (LoRA pairs when use_lora is on) and a
+        # strict zip would crash; shape mismatches keep init rather than
+        # silently installing wrong-shaped tensors.
+        stats: dict = {}
         mp = self.params["model"]
         if "wavlm_stream" in mp:  # DualStreamSEMamba: frontend wraps the model
-            target = mp["wavlm_stream"]["model"]
-            merged = jax.tree.map(
-                lambda t, s: jnp.asarray(s, t.dtype), target, converted
+            mp["wavlm_stream"]["model"] = merge_matching(
+                mp["wavlm_stream"]["model"], converted, stats
             )
-            mp["wavlm_stream"]["model"] = merged
         elif "ssl_model" in mp:  # XLSR-Mamba / XLSR-Conformer
-            mp["ssl_model"] = jax.tree.map(
-                lambda t, s: jnp.asarray(s, t.dtype), mp["ssl_model"], converted
-            )
+            mp["ssl_model"] = merge_matching(mp["ssl_model"], converted, stats)
         else:
             print("ssl pretrained: no wavlm_stream/ssl_model subtree found")
             return
-        print(f"loaded SSL pretrained weights from {path}")
+        loaded, kept = stats.get("loaded", 0), stats.get("kept", 0)
+        print(
+            f"loaded SSL pretrained weights from {path}: {loaded} tensors"
+            + (f" ({kept} kept init: LoRA/new params)" if kept else "")
+        )
+        if loaded == 0:
+            print(
+                "WARNING: ssl pretrained load matched ZERO tensors — wrong "
+                "variant for this config? SSL stage keeps random init"
+            )
 
     def load_weights(self, path, strict: bool = True) -> None:
         """Warm-start from a checkpoint of params(+stats).
@@ -521,13 +547,24 @@ class Experiment:
         """
         import os
 
+        profile_dir = os.environ.get("RADE_PROFILE_DIR")
+
         if self._use_device_cache():
             if self._device_cache is None:  # False = tried and fell back
                 self._device_cache = self._build_device_cache(batcher) or False
             if self._device_cache:
-                return self._train_epoch_cached(batcher, epoch)
+                # profiling must also cover the cached fast path
+                if profile_dir and epoch == 0:
+                    jax.profiler.start_trace(profile_dir)
+                try:
+                    return self._train_epoch_cached(batcher, epoch)
+                finally:
+                    if profile_dir and epoch == 0:
+                        jax.tree.map(
+                            lambda x: x.block_until_ready(), self.state.params
+                        )
+                        jax.profiler.stop_trace()
 
-        profile_dir = os.environ.get("RADE_PROFILE_DIR")
         if profile_dir and epoch == 0:
             jax.profiler.start_trace(profile_dir)
         accum = max(1, self.cfg.training.accumulation_steps)

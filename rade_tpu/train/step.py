@@ -166,11 +166,16 @@ def make_train_step(
     # micro-batch with jax.vjp and feed both passes; the sinc parameter
     # gradient is exact from one backward with the two cotangents summed
     # (VJP is linear in the cotangent).  Needs freeze_bn (no running-stat
-    # side effects to replay) and a model that accepts `sinc_features`.
+    # side effects to replay), a model that accepts `sinc_features`, and
+    # freq_aug OFF: the reference's FGM second forward re-draws the random
+    # sinc filter-band mask (`src/main.py:1087` -> `AASIST.py:391-396`), so
+    # with freq_aug the two passes see different sinc activations and
+    # sharing would silently reuse the first pass's mask.
     share_frontend = (
         tc.use_fgm
         and tc.fgm_share_frontend
         and tc.freeze_bn
+        and not cfg.freq_aug
         and "DualStreamSEMamba" in cfg.architecture
     )
     if share_frontend:

@@ -127,3 +127,41 @@ def test_fgm_shared_frontend_matches_unshared():
         # cotangents summed before ONE backward vs two backwards then summed:
         # same math, different float association -> tiny reassociation noise
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5, err_msg=str(pa))
+
+
+def test_fgm_shared_frontend_disabled_under_freq_aug():
+    """With freq_aug ON the reference re-draws the sinc filter-band mask in
+    the FGM second forward (`src/main.py:1087` -> `AASIST.py:391-396`), so
+    frontend sharing must NOT engage: flag on and off must be bit-identical
+    (both take the two-pass path with a fresh mask draw)."""
+    import json
+
+    t = {"use_fgm": True, "fgm_epsilon": 0.5, "freeze_bn": True}
+
+    def _cfg(share):
+        d = json.loads(json.dumps({
+            "database_path": "", "asv_score_path": "", "model_path": "",
+            "batch_size": 4, "num_epochs": 1, "loss": "CCE", "track": "LA",
+            "freq_aug": "True",
+            "model_config": {
+                "architecture": "DualStreamSEMamba", "nb_samp": 6000,
+                "emb_size": 16, "num_encoders": 1, "d_state": 4,
+                "sinc_channels": 16, "wavlm_variant": "tiny",
+                "wavlm_remat": False, "wavlm_freeze_layers": -1,
+            },
+            "optim_config": {"base_lr": 1e-2, "wavlm_lr": 1e-3,
+                             "scheduler": "cosine",
+                             "scheduler_config": {"eta_min": 1e-6}},
+            "training_config": {"use_mixup": False, "use_ema": False,
+                                "accumulation_steps": 1, "warmup_ratio": 0.0,
+                                **t, "fgm_share_frontend": share},
+            "test_config": {"batch_size": 4},
+        }))
+        return ExperimentConfig.from_dict(d)
+
+    _, after_s, loss_s = _one_step(_cfg(True), seed=9)
+    _, after_u, loss_u = _one_step(_cfg(False), seed=9)
+    assert loss_s == loss_u
+    for a, b in zip(jax.tree_util.tree_leaves(after_s),
+                    jax.tree_util.tree_leaves(after_u)):
+        np.testing.assert_array_equal(a, b)
