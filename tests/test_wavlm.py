@@ -193,3 +193,73 @@ def test_scan_layers_grad_flows_and_remat():
     stacked_leaf = jax.tree.leaves(g["layers_scan"])[0]
     assert np.all(np.isfinite(np.asarray(stacked_leaf)))
     assert float(jnp.abs(stacked_leaf).sum()) > 0
+
+
+def test_ssl_pretrained_load_with_lora(torch_and_flax, tmp_path):
+    """Regression: `wavlm_pretrained` + use_lora must load via merge_matching.
+
+    The live flagship tree carries LoRA leaves the checkpoint lacks; a strict
+    tree.map crashed here, which blocked the documented way of training the
+    flagship from real WavLM weights (Phase6 recipe: use_lora=true +
+    wavlm_pretrained)."""
+    import torch
+
+    from rade_tpu.config import ExperimentConfig
+    from rade_tpu.train.loop import Experiment
+
+    hf, _, params_hf = torch_and_flax
+    ckpt = tmp_path / "wavlm_tiny.pt"
+    torch.save(hf.state_dict(), str(ckpt))
+
+    conf = ExperimentConfig.from_dict({
+        "database_path": "", "asv_score_path": "", "model_path": "",
+        "batch_size": 2, "num_epochs": 1, "loss": "CCE", "track": "LA",
+        "model_config": {
+            "architecture": "DualStreamSEMamba", "nb_samp": 3200,
+            "emb_size": 16, "num_encoders": 1, "d_state": 4,
+            "sinc_channels": 16, "wavlm_variant": "tiny",
+            "wavlm_remat": False, "wavlm_freeze_layers": -1,
+            "wavlm_pretrained": str(ckpt),
+        },
+        "optim_config": {"base_lr": 1e-4, "wavlm_lr": 1e-4},
+        "training_config": {"use_lora": True},
+        "data_config": {}, "test_config": {},
+    })
+    exp = Experiment(conf, seed=0)
+    wl = exp.params["model"]["wavlm_stream"]["model"]
+    # pretrained leaves spliced in
+    np.testing.assert_allclose(
+        np.asarray(wl["feature_projection"]["kernel"]),
+        np.asarray(params_hf["feature_projection"]["kernel"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    # LoRA leaves exist and kept their (zero-B) init
+    attn = wl["layers_0"]["attention"]
+    assert "lora_A_q_proj" in attn
+    lora_b = np.concatenate(
+        [np.ravel(l) for l in jax.tree.leaves(attn["lora_B_q_proj"])]
+    )
+    assert float(np.abs(lora_b).max()) == 0.0
+
+
+def test_ssl_pretrained_missing_path_warns(capsys):
+    """A typo'd wavlm_pretrained path must warn, not silently random-init."""
+    from rade_tpu.config import ExperimentConfig
+    from rade_tpu.train.loop import Experiment
+
+    conf = ExperimentConfig.from_dict({
+        "database_path": "", "asv_score_path": "", "model_path": "",
+        "batch_size": 2, "num_epochs": 1, "loss": "CCE", "track": "LA",
+        "model_config": {
+            "architecture": "DualStreamSEMamba", "nb_samp": 3200,
+            "emb_size": 16, "num_encoders": 1, "d_state": 4,
+            "sinc_channels": 16, "wavlm_variant": "tiny",
+            "wavlm_remat": False, "wavlm_freeze_layers": -1,
+            "wavlm_pretrained": "/nonexistent/wavlm-large",
+        },
+        "optim_config": {"base_lr": 1e-4},
+        "training_config": {}, "data_config": {}, "test_config": {},
+    })
+    Experiment(conf, seed=0)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "does not exist" in out
