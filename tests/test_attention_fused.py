@@ -66,3 +66,15 @@ def test_flagship_from_config_plumbs_flag():
     assert m.wavlm_cfg.flash_attention is True
     m2 = DualStreamSEMamba.from_config({"wavlm_variant": "tiny"})
     assert m2.wavlm_cfg.flash_attention is False
+
+
+def test_block_sizes_divide_padded_length():
+    """Regression: the kernel requires block | sequence; every padded length
+    (multiples of 128) must get a valid block, not min(512, lp)."""
+    from rade_tpu.kernels.attention import _block_sizes
+
+    for lp in range(128, 4096 + 1, 128):
+        bs = _block_sizes(lp, 64)
+        for b in (bs.block_q, bs.block_k_major, bs.block_k):
+            assert lp % b == 0, (lp, b)
+            assert b <= 512
