@@ -116,3 +116,24 @@ def test_tdcf_rejects_degenerate_scores():
         metrics.compute_tdcf_legacy(
             np.array([1.0, np.nan, 2.0]), np.array([0.0, -1.0]), 0.01, 0.01, 0.5
         )
+
+
+_B01 = "/root/reference/tDCF_python_v2/scores/B01_LA_primary_eval.txt"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_B01),
+    reason="official B01 baseline score file not present",
+)
+def test_eer_on_real_b01_baseline_scores():
+    """Real-data golden: the official LFCC-GMM B01 primary CM scores
+    (71k ASVspoof19-LA eval trials) shipped with tDCF_python_v2.  Expected
+    values computed once with the official `eval_metrics.compute_eer`."""
+    bona, spoof = [], []
+    with open(_B01) as f:
+        for line in f:
+            parts = line.split()
+            (bona if parts[4] == "bonafide" else spoof).append(float(parts[-1]))
+    eer, thr = metrics.compute_eer(np.asarray(bona), np.asarray(spoof))
+    assert eer * 100 == pytest.approx(9.5720, abs=5e-4)
+    assert thr == pytest.approx(2.909863, abs=1e-5)
