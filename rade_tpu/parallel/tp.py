@@ -1,0 +1,158 @@
+"""Tensor parallelism: Megatron-style sharding of the SSL encoder over a
+2-D (data, model) device mesh.
+
+The reference is single-GPU (SURVEY.md §2.10); round 1 added data
+parallelism.  This module adds the second mesh axis: WavLM/XLS-R attention
+and feed-forward weights are sharded over ``model`` so one set of encoder
+weights (and its activations' FLOPs) is split across chips, with XLA GSPMD
+inserting the two classic all-reduces per layer (after ``out_proj`` and
+after ``output_dense``).
+
+Design: shardings are expressed as *path-substring rules* applied uniformly
+to every parameter-shaped tree in the TrainState (params, ema_params,
+swa_params, optimizer mu/nu, grads).  Optax state leaves carry the parameter
+path as a suffix of their own tree path, so a single rule function covers
+them all — no per-transform special cases.
+
+Column/row pairing (so each encoder layer needs exactly two collectives):
+
+- ``q/k/v_proj`` kernels: output (last) dim over ``model`` (column-parallel;
+  splits attention heads: E = H*hd and E % n_model == 0 keeps heads whole
+  for WavLM-Large's H=16, hd=64 at n_model in {2,4,8,16}).
+- ``out_proj`` kernel inside an attention block: input dim over ``model``
+  (row-parallel) -> psum; bias replicated.
+- ``intermediate_dense`` kernel: output dim (column); ``output_dense``
+  kernel: input dim (row) -> psum; bias replicated.
+- LoRA: ``lora_B_{q,v}_proj`` output dim over ``model`` (its add lands on a
+  column-sharded activation); ``lora_A_*`` replicated (rank is tiny).
+- Everything else (sinc stream, Mamba, fusion, classifier, feature
+  extractor, biases of row-parallel layers, norms) replicated.
+
+A dim is only sharded when divisible by the mesh's model-axis size —
+otherwise the leaf silently stays replicated, so tiny test configs and odd
+modules are always safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+MODEL_AXIS = "model"
+
+
+def make_mesh_2d(
+    n_data: int, n_model: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """(data, model) mesh; the model axis is minor (adjacent devices form a
+    model group, so the per-layer all-reduces ride the fastest ICI links)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) < n_data * n_model:
+        raise ValueError(
+            f"need {n_data * n_model} devices for a ({n_data}, {n_model}) "
+            f"mesh, have {len(devs)}"
+        )
+    grid = np.array(devs[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def model_axis_size(mesh: Mesh) -> int:
+    return int(mesh.shape.get(MODEL_AXIS, 1))
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(
+            getattr(k, "key", getattr(k, "name", getattr(k, "idx", k)))
+        )
+        for k in path
+    )
+
+
+# (required substrings, leaf name, sharded dim from the end: 1 = last/output
+# dim [column-parallel], 2 = second-to-last/input dim [row-parallel])
+_RULES: Tuple[Tuple[Tuple[str, ...], str, int], ...] = (
+    (("attention", "q_proj"), "kernel", 1),
+    (("attention", "k_proj"), "kernel", 1),
+    (("attention", "v_proj"), "kernel", 1),
+    (("attention", "q_proj"), "bias", 1),
+    (("attention", "k_proj"), "bias", 1),
+    (("attention", "v_proj"), "bias", 1),
+    (("attention", "out_proj"), "kernel", 2),
+    (("attention", "lora_B_q_proj"), "", 1),
+    (("attention", "lora_B_v_proj"), "", 1),
+    (("feed_forward", "intermediate_dense"), "kernel", 1),
+    (("feed_forward", "intermediate_dense"), "bias", 1),
+    (("feed_forward", "output_dense"), "kernel", 2),
+)
+
+
+def spec_for_path(path: str, shape: Tuple[int, ...], n_model: int) -> P:
+    """PartitionSpec for one leaf; P() (replicated) when no rule matches or
+    the target dim is not divisible by the model-axis size.
+
+    Rules are position-independent of stacking: a scan-over-layers kernel
+    (L, E, E) and an unrolled kernel (E, E) get the same from-the-end dim.
+    """
+    ndim = len(shape)
+    if n_model <= 1 or ndim == 0:
+        return P()
+    for substrings, leaf_name, dim_from_end in _RULES:
+        if not all(s in path for s in substrings):
+            continue
+        if leaf_name and not path.endswith("/" + leaf_name):
+            continue
+        if ndim < dim_from_end:
+            return P()
+        axis = ndim - dim_from_end
+        if shape[axis] % n_model:
+            return P()  # not divisible: stay replicated (safe fallback)
+        spec = [None] * ndim
+        spec[axis] = MODEL_AXIS
+        return P(*spec)
+    return P()
+
+
+def shard_tree(tree: Any, mesh: Mesh):
+    """device_put every leaf of a (TrainState-like) pytree with its rule
+    sharding; non-array leaves (python scalars, None) become replicated."""
+    n_model = model_axis_size(mesh)
+
+    def put(path, leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = spec_for_path(_path_str(path), shape, n_model)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
+def describe_sharding(params: Any, mesh: Mesh, max_rows: int = 12) -> str:
+    """Human-readable summary of which leaves the rules shard (for logs)."""
+    n_model = model_axis_size(mesh)
+    rows = []
+    total = sharded = 0
+
+    def visit(path, leaf):
+        nonlocal total, sharded
+        total += 1
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = spec_for_path(_path_str(path), shape, n_model)
+        if any(a is not None for a in spec):
+            sharded += 1
+            if len(rows) < max_rows:
+                rows.append(f"  {_path_str(path)} {shape} -> {spec}")
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    head = (
+        f"tensor-parallel over {MODEL_AXIS}={n_model}: "
+        f"{sharded}/{total} param leaves sharded"
+    )
+    if sharded > max_rows:
+        rows.append(f"  ... and {sharded - max_rows} more")
+    return "\n".join([head] + rows)

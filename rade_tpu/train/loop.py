@@ -396,7 +396,6 @@ class Experiment:
             ),
             donate_argnums=(0,),
         )
-        replicated = NamedSharding(self.mesh, P())
         state = TrainState.create(
             params=self.params,
             batch_stats=self.batch_stats,
@@ -406,7 +405,17 @@ class Experiment:
             use_swa=cfg.training.use_swa,
             trainable_mask=self.trainable_mask,
         )
-        self.state = jax.device_put(state, replicated)
+        from rade_tpu.parallel.tp import model_axis_size, shard_tree
+
+        if model_axis_size(self.mesh) > 1:
+            # 2-D (data, model) mesh: Megatron-style sharding of the SSL
+            # encoder weights (and their optimizer/EMA/SWA mirrors) over the
+            # model axis; everything unmatched stays replicated.  The jit'd
+            # step picks the shardings up from the donated state and GSPMD
+            # inserts the per-layer collectives.
+            self.state = shard_tree(state, self.mesh)
+        else:
+            self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
         return self.state
 
     # ------------------------------------------------------------- data setup
