@@ -41,6 +41,8 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.model_config["use_pallas_scan_training"] = False
     if "nofastrng" in flags:
         cfg.training.fast_rng = False
+    if "fastsinc" in flags:
+        cfg.model_config["use_pallas_resblock_training"] = True
     print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0)
     state = exp.setup_training(steps_per_epoch=100)

@@ -119,6 +119,84 @@ def sinc_encoder_fast(
     return jnp.max(jnp.abs(e), axis=1)  # (B, T', C)
 
 
+def sinc_encoder_train_fast(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    x: jax.Array,
+    freq_key: jax.Array = None,
+    sinc_channels: int = 70,
+    sinc_kernel: int = 128,
+    mask_max_bands: int = 20,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Training twin of :func:`sinc_encoder_fast`: differentiable (packed
+    Pallas forward + XLA-recompute VJP, `kernels/resblock_grad.py`) and with
+    the random filter-band freq-aug mask (`freq_key`; None = no masking).
+
+    Valid exactly when the module forward equals its eval-mode function —
+    i.e. ``freeze_bn`` (the Phase-6 recipe): BatchNorm pinned to running
+    stats, no dropout in the blocks.  The mask draw mirrors
+    ``SincConv.__call__`` (`nn/sinc.py:68-80`; the reference's random band
+    masking, `models/AASIST.py:391-410` — a fresh draw per forward, which is
+    why the FGM adversarial pass needs its own key, `src/main.py:1087`).
+    """
+    from rade_tpu.kernels.resblock_grad import chain_packed_trainable
+    from rade_tpu.nn.sinc import sinc_bandpass_bank
+
+    bank = jnp.asarray(sinc_bandpass_bank(sinc_channels, sinc_kernel), x.dtype)
+    if freq_key is not None:
+        k_a, k_s = jax.random.split(freq_key)
+        n_masked = jnp.floor(
+            jax.random.uniform(k_a, (), minval=0.0, maxval=float(mask_max_bands))
+        ).astype(jnp.int32)
+        start = jnp.floor(
+            jax.random.uniform(k_s, ())
+            * (sinc_channels - n_masked + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        band = jnp.arange(sinc_channels)
+        keep = (band < start) | (band >= start + n_masked)
+        bank = bank * keep[:, None].astype(bank.dtype)
+
+    # rematted head: its stored residuals (conv out for the |.| sign,
+    # pre-pool tensor for the max argmax, ~0.35 GB/pass at the flagship
+    # shapes) would otherwise sit in HBM until the pullback; the replay is
+    # one cheap sinc conv
+    @jax.checkpoint
+    def _head(bn_p, x_in, bank_in):
+        e = jax.lax.conv_general_dilated(
+            x_in[:, None, :], bank_in[:, None, :], (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        e = jnp.abs(e)[..., None]  # (B, H=F, W=T, C=1)
+        e = nn.max_pool(e, window_shape=(3, 3), strides=(3, 3))
+        bn_s = batch_stats["first_bn"]
+        inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + eps)
+        e = (
+            (e.astype(jnp.float32) - bn_s["mean"].astype(jnp.float32))
+            * inv * bn_p["scale"].astype(jnp.float32)
+            + bn_p["bias"].astype(jnp.float32)
+        )
+        return jax.nn.selu(e).astype(x_in.dtype)
+
+    e = _head(params["first_bn"], x, bank)
+
+    blocks = []
+    for i in range(6):
+        bp, bs = params[f"encoder_{i}"], batch_stats[f"encoder_{i}"]
+        entry = {
+            "w1": bp["conv1"]["kernel"], "b1": bp["conv1"]["bias"],
+            "bn_scale": bp["bn2"]["scale"], "bn_bias": bp["bn2"]["bias"],
+            "bn_mean": bs["bn2"]["mean"], "bn_var": bs["bn2"]["var"],
+            "w2": bp["conv2"]["kernel"], "b2": bp["conv2"]["bias"],
+        }
+        if "conv_downsample" in bp:
+            entry["wd"] = bp["conv_downsample"]["kernel"]
+            entry["bd"] = bp["conv_downsample"]["bias"]
+        blocks.append(entry)
+    e = chain_packed_trainable(blocks, e, eps)
+    return jnp.max(jnp.abs(e), axis=1)  # (B, T', C)
+
+
 class SELayer(nn.Module):
     """1-D squeeze-excitation over (B, T, C) (`DualStreamSEMamba.py:492-531`)."""
 

@@ -171,13 +171,28 @@ def make_train_step(
     # sinc filter-band mask (`src/main.py:1087` -> `AASIST.py:391-396`), so
     # with freq_aug the two passes see different sinc activations and
     # sharing would silently reuse the first pass's mask.
+    # Pallas res-block chain in training (custom VJP with XLA-recompute
+    # backward, kernels/resblock_grad.py): legal whenever freeze_bn pins the
+    # sinc stream to its eval-mode function.  Unlike frontend sharing this
+    # stays recipe-exact UNDER freq_aug too — each pass draws its own
+    # filter-band mask and runs its own fast forward.
+    fast_sinc = (
+        bool(cfg.model_config.get("use_pallas_resblock_training"))
+        and tc.freeze_bn
+        and "DualStreamSEMamba" in cfg.architecture
+    )
     share_frontend = (
         tc.use_fgm
         and tc.fgm_share_frontend
         and tc.freeze_bn
         and not cfg.freq_aug
         and "DualStreamSEMamba" in cfg.architecture
+        and not fast_sinc
     )
+    if fast_sinc:
+        from rade_tpu.models.dual_stream_se_mamba import sinc_encoder_train_fast
+
+        _sinc_ch = int(cfg.model_config.get("sinc_channels", 70))
     if share_frontend:
         from rade_tpu.models.dual_stream_se_mamba import SincNetEncoder
 
@@ -242,11 +257,82 @@ def make_train_step(
 
         return jax.tree.map(perturb, params, fmask, grads)
 
-    def micro_step(params, batch_stats, x, y, rng):
+    def micro_step(params, batch_stats, x, y, rng, token):
+        # `token` (f32 scalar) serializes the opaque custom-VJP sinc chains
+        # ACROSS micro-batches on the fast_sinc path: each micro-batch's
+        # sinc forward waits on the previous micro-batch's sinc pullback,
+        # so at most one packed chain (fwd or recompute-bwd) is live at a
+        # time while the WavLM work still overlaps freely.  Unused (passed
+        # through) on the other paths.
         rng, k_drop, k_freq, k_mix, k_drop2, k_freq2, k_aug = jax.random.split(rng, 7)
         # aug + mixup once, outside the differentiated region: FGM attacks
         # the same (augmented, mixed) batch (`main.py:1087`)
         x_in, y_a, y_b, lam = prep_inputs(x, y, k_aug, k_mix)
+
+        if fast_sinc:
+            def sinc_fwd_fast(sp, key, x_c):
+                bs_c = batch_stats["sinc_stream"]
+                if tc.mixed_precision:
+                    sp = cast_tree(sp, jnp.bfloat16)
+                    bs_c = cast_tree(bs_c, jnp.bfloat16)
+                    x_c = x_c.astype(jnp.bfloat16)
+                return sinc_encoder_train_fast(
+                    sp, bs_c, x_c,
+                    freq_key=key if cfg.freq_aug else None,
+                    sinc_channels=_sinc_ch,
+                )
+
+            sp0 = params["model"]["sinc_stream"]
+            # barrier ONLY the sinc chain's input copy — the WavLM/model
+            # passes keep the unbarriered x_in and overlap across
+            # micro-batches as before
+            x_sinc, token = jax.lax.optimization_barrier((x_in, token))
+            del token  # re-derived from this micro-batch's d_sinc below
+            sf, sinc_vjp = jax.vjp(
+                lambda sp: sinc_fwd_fast(sp, k_freq, x_sinc), sp0
+            )
+            rngs = {"dropout": k_drop}
+            (loss, (batch_stats, _)), grads, g_sf = grad_fn_sf(
+                params, batch_stats, x_in, y_a, y_b, lam, rngs, sf
+            )
+            if tc.use_fgm:
+                params_adv = _perturb_adv(params, grads)
+                if cfg.freq_aug:
+                    # the adversarial pass re-draws the sinc filter-band mask
+                    # (reference src/main.py:1087 -> AASIST.py:391-396).
+                    # Pull pass 1's sinc cotangent back NOW and barrier the
+                    # pass-2 input on it: the custom-VJP chain is opaque to
+                    # XLA, and without the barrier both passes' packed
+                    # forwards + recompute backwards get scheduled
+                    # concurrently (~7 GB of extra peak HBM -> OOM at bs=16)
+                    (d1,) = sinc_vjp(g_sf)
+                    x_in2, d1 = jax.lax.optimization_barrier((x_sinc, d1))
+                    sf2, sinc_vjp2 = jax.vjp(
+                        lambda sp: sinc_fwd_fast(sp, k_freq2, x_in2), sp0
+                    )
+                else:
+                    sf2, sinc_vjp2 = sf, None
+                rngs_adv = {"dropout": k_drop2}
+                (adv_loss, (batch_stats, _)), adv_grads, g_sf2 = grad_fn_sf(
+                    params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, sf2
+                )
+                grads = jax.tree.map(jnp.add, grads, adv_grads)
+                loss = loss + adv_loss
+                if sinc_vjp2 is None:
+                    (d_sinc,) = sinc_vjp(g_sf + g_sf2)  # VJP linear in cotangent
+                else:
+                    (d2,) = sinc_vjp2(g_sf2)
+                    d_sinc = jax.tree.map(jnp.add, d1, d2)
+            else:
+                (d_sinc,) = sinc_vjp(g_sf)
+            token = jnp.ravel(
+                jax.tree_util.tree_leaves(d_sinc)[0]
+            )[0].astype(jnp.float32)
+            d_sinc = jax.tree.map(jnp.add, grads["model"]["sinc_stream"], d_sinc)
+            grads = {
+                **grads, "model": {**grads["model"], "sinc_stream": d_sinc},
+            }
+            return loss, grads, batch_stats, rng, token
 
         if share_frontend:
             def sinc_fwd(sp):
@@ -280,7 +366,7 @@ def make_train_step(
             grads = {
                 **grads, "model": {**grads["model"], "sinc_stream": d_sinc},
             }
-            return loss + adv_loss, grads, batch_stats, rng
+            return loss + adv_loss, grads, batch_stats, rng, token
 
         rngs = {"dropout": k_drop, "freq_aug": k_freq}
         (loss, (batch_stats, _)), grads = grad_fn(
@@ -294,7 +380,7 @@ def make_train_step(
             )
             grads = jax.tree.map(jnp.add, grads, adv_grads)
             loss = loss + adv_loss
-        return loss, grads, batch_stats, rng
+        return loss, grads, batch_stats, rng, token
 
     def train_step(
         state: TrainState, xb: jax.Array, yb: jax.Array, wb: jax.Array = None
@@ -314,24 +400,26 @@ def make_train_step(
             wb = jnp.ones((accum,), jnp.float32)
 
         def body(carry, inp):
-            grad_acc, batch_stats, rng = carry
+            grad_acc, batch_stats, rng, token = carry
             x, y, w = inp
-            loss, grads, new_bs, rng = micro_step(
-                state.params, batch_stats, x, y, rng
+            loss, grads, new_bs, rng, token = micro_step(
+                state.params, batch_stats, x, y, rng, token
             )
             grads = jax.tree.map(lambda a, g: a + w * g / accum, grad_acc, grads)
             # padded micro-batches must not advance BN running stats
             batch_stats = jax.tree.map(
                 lambda n, o: jnp.where(w > 0, n, o), new_bs, batch_stats
             )
-            return (grads, batch_stats, rng), w * loss
+            return (grads, batch_stats, rng, token), w * loss
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         # unrolling the micro-batch loop lets XLA schedule across micro-batches
         # and drops the while-loop's stacked-residual reverse in the backward;
         # accum is small (2-4) so code-size stays bounded
-        (grads, batch_stats, _), losses = jax.lax.scan(
-            body, (zero_grads, state.batch_stats, step_rng), (xb, yb, wb),
+        (grads, batch_stats, _, _), losses = jax.lax.scan(
+            body,
+            (zero_grads, state.batch_stats, step_rng, jnp.zeros((), jnp.float32)),
+            (xb, yb, wb),
             unroll=True,
         )
 
