@@ -405,9 +405,12 @@ class Experiment:
             use_swa=cfg.training.use_swa,
             trainable_mask=self.trainable_mask,
         )
-        from rade_tpu.parallel.tp import model_axis_size, shard_tree
+        from rade_tpu.parallel.tp import (
+            describe_sharding, model_axis_size, shard_tree,
+        )
 
         if model_axis_size(self.mesh) > 1:
+            print(describe_sharding(self.params, self.mesh))
             # 2-D (data, model) mesh: Megatron-style sharding of the SSL
             # encoder weights (and their optimizer/EMA/SWA mirrors) over the
             # model axis; everything unmatched stays replicated.  The jit'd
