@@ -41,7 +41,9 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.model_config["use_pallas_scan_training"] = False
     if "nofastrng" in flags:
         cfg.training.fast_rng = False
-    if "fastsinc" in flags:
+    if "nativesinc" in flags:
+        cfg.model_config["use_pallas_resblock_training"] = "native"
+    elif "fastsinc" in flags:
         cfg.model_config["use_pallas_resblock_training"] = True
     print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0)

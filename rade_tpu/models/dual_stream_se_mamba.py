@@ -128,10 +128,16 @@ def sinc_encoder_train_fast(
     sinc_kernel: int = 128,
     mask_max_bands: int = 20,
     eps: float = 1e-5,
+    backward: str = "recompute",
 ) -> jax.Array:
     """Training twin of :func:`sinc_encoder_fast`: differentiable (packed
     Pallas forward + XLA-recompute VJP, `kernels/resblock_grad.py`) and with
     the random filter-band freq-aug mask (`freq_key`; None = no masking).
+
+    ``backward`` selects the chain VJP: "recompute" replays the chain with
+    XLA convs (`kernels/resblock_grad.py`), "native" runs the whole block
+    backward inside Pallas (`kernels/resblock_packed_vjp.py` — no replay
+    buffers in HBM, select-and-scatter/conv-transpose free).
 
     Valid exactly when the module forward equals its eval-mode function —
     i.e. ``freeze_bn`` (the Phase-6 recipe): BatchNorm pinned to running
@@ -140,7 +146,14 @@ def sinc_encoder_train_fast(
     masking, `models/AASIST.py:391-410` — a fresh draw per forward, which is
     why the FGM adversarial pass needs its own key, `src/main.py:1087`).
     """
-    from rade_tpu.kernels.resblock_grad import chain_packed_trainable
+    if backward == "native":
+        from rade_tpu.kernels.resblock_packed_vjp import (
+            chain_packed_native as chain_fn,
+        )
+    else:
+        from rade_tpu.kernels.resblock_grad import (
+            chain_packed_trainable as chain_fn,
+        )
     from rade_tpu.nn.sinc import sinc_bandpass_bank
 
     bank = jnp.asarray(sinc_bandpass_bank(sinc_channels, sinc_kernel), x.dtype)
@@ -193,7 +206,7 @@ def sinc_encoder_train_fast(
             entry["wd"] = bp["conv_downsample"]["kernel"]
             entry["bd"] = bp["conv_downsample"]["bias"]
         blocks.append(entry)
-    e = chain_packed_trainable(blocks, e, eps)
+    e = chain_fn(blocks, e, eps)
     return jnp.max(jnp.abs(e), axis=1)  # (B, T', C)
 
 

@@ -193,6 +193,15 @@ def make_train_step(
         from rade_tpu.models.dual_stream_se_mamba import sinc_encoder_train_fast
 
         _sinc_ch = int(cfg.model_config.get("sinc_channels", 70))
+        # value "native" selects the all-Pallas block backward
+        # (kernels/resblock_packed_vjp.py); any other truthy value keeps the
+        # XLA-recompute VJP (kernels/resblock_grad.py)
+        _sinc_bwd = (
+            "native"
+            if str(cfg.model_config.get("use_pallas_resblock_training"))
+            .lower() == "native"
+            else "recompute"
+        )
     if share_frontend:
         from rade_tpu.models.dual_stream_se_mamba import SincNetEncoder
 
@@ -280,6 +289,7 @@ def make_train_step(
                     sp, bs_c, x_c,
                     freq_key=key if cfg.freq_aug else None,
                     sinc_channels=_sinc_ch,
+                    backward=_sinc_bwd,
                 )
 
             sp0 = params["model"]["sinc_stream"]
