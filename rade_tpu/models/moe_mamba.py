@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rade_tpu.nn.mamba import MambaMixer
-from rade_tpu.nn.moe import SwitchMoE
+from rade_tpu.nn.moe import StackedSwitchMoE, SwitchMoE
 from rade_tpu.nn.wavlm import WavLMConfig, WavLMFrontend
 from .dual_stream_se_mamba import SincNetEncoder
 
@@ -35,6 +35,7 @@ class MoEMixerStack(nn.Module):
     num_experts: int
     top_k: int
     d_state: int = 16
+    stacked_experts: bool = False  # expert-parallel layout (parallel/tp.py)
 
     @nn.compact
     def __call__(self, h: jax.Array, train: bool = False) -> jax.Array:
@@ -44,7 +45,8 @@ class MoEMixerStack(nn.Module):
             normed = nn.LayerNorm(name=f"norm_{i}")(residual)
             h = MambaMixer(self.d_model, self.d_state, name=f"mamba_{i}")(normed)
             curr = h + residual
-            moe_out = SwitchMoE(
+            moe_cls = StackedSwitchMoE if self.stacked_experts else SwitchMoE
+            moe_out = moe_cls(
                 self.d_model, self.d_model * 4, self.num_experts, self.top_k,
                 name=f"moe_{i}",
             )(curr, train)
@@ -59,6 +61,7 @@ class MoEMambaASV(nn.Module):
     top_k: int = 2
     use_sinc_stream: bool = False
     sinc_channels: int = 70
+    stacked_experts: bool = False
     wavlm_cfg: WavLMConfig = dataclasses.field(default_factory=WavLMConfig.large)
 
     @classmethod
@@ -76,6 +79,7 @@ class MoEMambaASV(nn.Module):
             top_k=int(model_config.get("top_k", 2)),
             use_sinc_stream=bool(model_config.get("use_sinc_stream", False)),
             sinc_channels=int(model_config.get("sinc_channels", 70)),
+            stacked_experts=bool(model_config.get("moe_stacked_experts", False)),
             wavlm_cfg=wcfg,
         )
 
@@ -115,11 +119,11 @@ class MoEMambaASV(nn.Module):
         n_layer = max(1, self.num_encoders // 2)
         f_states = MoEMixerStack(
             self.emb_size, n_layer, self.num_experts, self.top_k,
-            name="backbone_forward",
+            stacked_experts=self.stacked_experts, name="backbone_forward",
         )(nn.Dropout(0.1, deterministic=not train)(h), train)
         b_states = MoEMixerStack(
             self.emb_size, n_layer, self.num_experts, self.top_k,
-            name="backbone_backward",
+            stacked_experts=self.stacked_experts, name="backbone_backward",
         )(nn.Dropout(0.1, deterministic=not train)(jnp.flip(h, axis=1)), train)
 
         norm_f = nn.LayerNorm(name="norm_f")

@@ -89,6 +89,14 @@ _RULES: Tuple[Tuple[Tuple[str, ...], str, int], ...] = (
     (("feed_forward", "intermediate_dense"), "kernel", 1),
     (("feed_forward", "intermediate_dense"), "bias", 1),
     (("feed_forward", "output_dense"), "kernel", 2),
+    # expert parallelism: StackedSwitchMoE's leading expert axis
+    # (rade_tpu/nn/moe.py) shards over the same `model` axis — each device
+    # computes its experts for all tokens; the gate-weighted combine einsum
+    # is the layer's one all-reduce
+    (("moe_",), "experts_fc1_kernel", 3),
+    (("moe_",), "experts_fc1_bias", 2),
+    (("moe_",), "experts_fc2_kernel", 3),
+    (("moe_",), "experts_fc2_bias", 2),
 )
 
 

@@ -55,6 +55,20 @@ _BUILTIN = {
     "XLSRTransformer": ("rade_tpu.models.xlsr_zoo", "XLSRTransformer"),
     "XLSRAASIST": ("rade_tpu.models.xlsr_zoo", "XLSRAASIST"),
     "XLSRSLSMamba2": ("rade_tpu.models.xlsr_zoo", "XLSRSLSMamba2"),
+    # the rest of the Fake-Mamba experiment zoo (models/fake_mamba_zoo.py)
+    "FakeMamba": ("rade_tpu.models.fake_mamba_zoo", "FakeMamba"),
+    "XLSRAttWConformer": ("rade_tpu.models.fake_mamba_zoo", "XLSRAttWConformer"),
+    "MLXLSRConformer": ("rade_tpu.models.fake_mamba_zoo", "MLXLSRConformer"),
+    "MLMamba": ("rade_tpu.models.fake_mamba_zoo", "MLMamba"),
+    "MLXLSXBiMambaFFNSLS": ("rade_tpu.models.fake_mamba_zoo", "MLXLSXBiMambaFFNSLS"),
+    "MLXLSX10BiMambaFFN": ("rade_tpu.models.fake_mamba_zoo", "MLXLSX10BiMambaFFN"),
+    "MLXLSXBiMambaFFN": ("rade_tpu.models.fake_mamba_zoo", "MLXLSXBiMambaFFN"),
+    "XLSXSLSMamba": ("rade_tpu.models.fake_mamba_zoo", "XLSXSLSMamba"),
+    "XLSXCBAMSLS": ("rade_tpu.models.fake_mamba_zoo", "XLSXCBAMSLS"),
+    "MLCBAMMamba": ("rade_tpu.models.fake_mamba_zoo", "MLCBAMMamba"),
+    "XLSXSLSAttMamba": ("rade_tpu.models.fake_mamba_zoo", "XLSXSLSAttMamba"),
+    "XLSXSLSDualMamba": ("rade_tpu.models.fake_mamba_zoo", "XLSXSLSDualMamba"),
+    "XLSXMamba1": ("rade_tpu.models.fake_mamba_zoo", "XLSXMamba1"),
 }
 
 
