@@ -288,6 +288,9 @@ class DualStreamSEMamba(nn.Module):
             remat=bool(model_config.get("wavlm_remat", True)),
             scan_layers=bool(model_config.get("wavlm_scan_layers", False)),
             flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+            sequence_parallel=bool(
+                model_config.get("wavlm_sequence_parallel", False)
+            ),
         )
         if wavlm_variant == "large":
             wcfg = WavLMConfig.large(**kw)

@@ -70,7 +70,10 @@ class MoEMambaASV(nn.Module):
         wcfg = {"large": WavLMConfig.large, "base": WavLMConfig.base,
                 "tiny": WavLMConfig.tiny}[variant](
             remat=bool(model_config.get("wavlm_remat", True)),
-            flash_attention=bool(model_config.get("wavlm_flash_attention", False))
+            flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+            sequence_parallel=bool(
+                model_config.get("wavlm_sequence_parallel", False)
+            ),
         )
         return cls(
             emb_size=int(model_config.get("emb_size", 144)),

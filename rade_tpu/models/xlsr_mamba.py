@@ -71,7 +71,10 @@ class XLSRMamba(nn.Module):
                 "tiny": WavLMConfig.tiny, "xlsr300m": WavLMConfig.xlsr300m,
                 "xlsr_tiny": WavLMConfig.xlsr_tiny}[variant](
             remat=bool(model_config.get("wavlm_remat", True)),
-            flash_attention=bool(model_config.get("wavlm_flash_attention", False))
+            flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+            sequence_parallel=bool(
+                model_config.get("wavlm_sequence_parallel", False)
+            ),
         )
         return cls(
             emb_size=int(model_config.get("emb_size", 144)),

@@ -54,6 +54,9 @@ def _ssl_cfg(model_config: Dict[str, Any]) -> WavLMConfig:
     return _SSL_VARIANTS[variant](
         remat=bool(model_config.get("wavlm_remat", True)),
         flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+        sequence_parallel=bool(
+            model_config.get("wavlm_sequence_parallel", False)
+        ),
     )
 
 

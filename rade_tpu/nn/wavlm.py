@@ -75,6 +75,11 @@ class WavLMConfig:
     # train-path keeps the unfused einsum because the recipe applies attention
     # dropout on the probabilities, which the kernel does not support
     flash_attention: bool = False
+    # Megatron-style sequence parallelism: constrain the residual stream to
+    # be time-sharded over the mesh `model` axis between attention/FFN
+    # blocks (rade_tpu/parallel/sp.py).  No-op on meshes without a model
+    # axis; pairs with the tensor-parallel weight rules (parallel/tp.py)
+    sequence_parallel: bool = False
 
     @classmethod
     def large(cls, **kw) -> "WavLMConfig":
@@ -110,6 +115,16 @@ class WavLMConfig:
     def xlsr_tiny(cls, **kw) -> "WavLMConfig":
         """Small plain-attention config for tests."""
         return cls.tiny(attention_type="plain", **kw)
+
+
+def _sp_shard(cfg: "WavLMConfig", x: jax.Array) -> jax.Array:
+    """Sequence-parallel constraint on the residual stream (no-op unless
+    cfg.sequence_parallel and a model-axis mesh is active)."""
+    if not cfg.sequence_parallel:
+        return x
+    from rade_tpu.parallel.sp import shard_seq
+
+    return shard_seq(x)
 
 
 def relative_position_buckets(
@@ -314,6 +329,7 @@ class _ScanLayerBody(nn.Module):
         h, _ = layer_cls(self.cfg, has_relative_position_bias=False, name="layer")(
             h, position_bias, train
         )
+        h = _sp_shard(self.cfg, h)
         return h, h
 
 
@@ -337,6 +353,7 @@ class WavLMModel(nn.Module):
         if not cfg.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(h)
+        h = _sp_shard(cfg, h)
 
         hidden_states = [h]
         position_bias = None
@@ -349,6 +366,7 @@ class WavLMModel(nn.Module):
             # params, emitting every per-layer hidden state
             layer0 = layer_cls(cfg, has_relative_position_bias=True, name="layers_0")
             h, position_bias = layer0(h, position_bias, train)
+            h = _sp_shard(cfg, h)
             hidden_states.append(h)
             scanned = nn.scan(
                 _ScanLayerBody,
@@ -368,6 +386,7 @@ class WavLMModel(nn.Module):
                     cfg, has_relative_position_bias=(i == 0), name=f"layers_{i}"
                 )
                 h, position_bias = layer(h, position_bias, train)
+                h = _sp_shard(cfg, h)
                 if i < cfg.num_hidden_layers - 1:
                     hidden_states.append(h)
         if cfg.do_stable_layer_norm:

@@ -112,6 +112,12 @@ class Experiment:
         self.cfg = cfg
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh()
+        # register the mesh for sequence-parallel activation constraints
+        # (no-op for modules without sequence_parallel; deactivates when the
+        # mesh has no model axis so later single-device runs stay unsharded)
+        from rade_tpu.parallel import sp as _sp
+
+        _sp.activate(self.mesh)
         model_config = dict(cfg.model_config)
         # the reference injects LoRA post-hoc (apply_lora_to_wavlm,
         # src/main.py:103-158); here LoRA params are part of the module
