@@ -159,6 +159,33 @@ class DataConfig:
 
 
 @dataclasses.dataclass
+class ParallelConfig:
+    """TPU-native extension: mesh layout (`parallel_config` in the .conf).
+
+    The reference is single-GPU (SURVEY.md §2.10); here the trainer builds a
+    `jax.sharding.Mesh` from this section.  `model_axis` > 1 selects a 2-D
+    (data, model) mesh with Megatron-style tensor parallelism of the SSL
+    encoder (rade_tpu/parallel/tp.py); `sequence_parallel` adds the
+    companion time-axis activation sharding (rade_tpu/parallel/sp.py) and
+    implies `wavlm_sequence_parallel` on the model unless the model config
+    overrides it.  `data_axis` 0 (default) means "all remaining devices".
+    """
+
+    data_axis: int = 0
+    model_axis: int = 1
+    sequence_parallel: bool = False
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ParallelConfig":
+        d = _drop_comments(d)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "sequence_parallel" in kwargs:
+            kwargs["sequence_parallel"] = str_to_bool(kwargs["sequence_parallel"])
+        return cls(**kwargs)
+
+
+@dataclasses.dataclass
 class TestConfig:
     batch_size: int = 64
     num_workers: int = 0
@@ -193,6 +220,7 @@ class ExperimentConfig:
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     test: TestConfig = dataclasses.field(default_factory=TestConfig)
     raw: Dict[str, Any] = dataclasses.field(default_factory=dict, repr=False)
 
@@ -218,13 +246,15 @@ class ExperimentConfig:
         data = DataConfig.from_dict(config.get("data_config", {}))
         if "rawboost_algo" in config.get("data_config", {}):
             data.use_rawboost = data.use_rawboost or data.rawboost_algo != 0
+        parallel = ParallelConfig.from_dict(config.get("parallel_config", {}))
         test = TestConfig.from_dict(config.get("test_config", {}))
 
         known = {f.name for f in dataclasses.fields(cls)}
         top = {
             k: v
             for k, v in config.items()
-            if k in known and k not in ("optim", "training", "data", "test", "raw")
+            if k in known
+            and k not in ("optim", "training", "data", "parallel", "test", "raw")
         }
         for key in ("eval_all_best", "freq_aug", "is_eval_2021", "auto_eval_2021_df"):
             if key in top:
@@ -233,7 +263,8 @@ class ExperimentConfig:
         top.setdefault("eval_all_best", True)
         top.setdefault("freq_aug", False)
         return cls(
-            optim=optim, training=training, data=data, test=test, raw=config, **top
+            optim=optim, training=training, data=data, parallel=parallel,
+            test=test, raw=config, **top,
         )
 
     @classmethod

@@ -108,10 +108,29 @@ def _ocsoftmax_feat_dim(cfg: ExperimentConfig) -> int:
 class Experiment:
     """Builds the model/state/steps for a config; drives training and eval."""
 
+    @staticmethod
+    def _mesh_from_config(cfg: ExperimentConfig):
+        """Mesh from `parallel_config`: 1-D data mesh by default, 2-D
+        (data, model) when model_axis > 1 (tensor/sequence parallelism)."""
+        n_model = int(getattr(cfg.parallel, "model_axis", 1))
+        if n_model > 1:
+            from rade_tpu.parallel.tp import make_mesh_2d
+
+            n_devs = len(jax.devices())
+            n_data = int(cfg.parallel.data_axis) or n_devs // n_model
+            if n_data * n_model > n_devs:
+                raise ValueError(
+                    f"parallel_config needs {n_data}x{n_model} devices, "
+                    f"have {n_devs}"
+                )
+            return make_mesh_2d(n_data, n_model)
+        n_data = int(getattr(cfg.parallel, "data_axis", 0)) or None
+        return make_mesh(n_data)
+
     def __init__(self, cfg: ExperimentConfig, seed: int = 1234, mesh=None):
         self.cfg = cfg
         self.seed = seed
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = mesh if mesh is not None else self._mesh_from_config(cfg)
         # register the mesh for sequence-parallel activation constraints
         # (no-op for modules without sequence_parallel; deactivates when the
         # mesh has no model axis so later single-device runs stay unsharded)
@@ -119,6 +138,8 @@ class Experiment:
 
         _sp.activate(self.mesh)
         model_config = dict(cfg.model_config)
+        if cfg.parallel.sequence_parallel:
+            model_config.setdefault("wavlm_sequence_parallel", True)
         # the reference injects LoRA post-hoc (apply_lora_to_wavlm,
         # src/main.py:103-158); here LoRA params are part of the module
         if cfg.training.use_lora and "lora_r" not in model_config:

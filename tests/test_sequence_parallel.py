@@ -58,6 +58,35 @@ def test_activate_with_1d_mesh_deactivates():
     assert sp.active_mesh() is None
 
 
+def test_parallel_config_builds_2d_mesh():
+    """`parallel_config` in the .conf drives mesh construction: model_axis>1
+    yields a 2-D (data, model) mesh and sequence_parallel implies the model
+    flag (TPU-native addition; the reference has no parallelism, §2.10)."""
+    from rade_tpu.config import ExperimentConfig
+    from rade_tpu.train.loop import Experiment
+
+    cfg = ExperimentConfig.from_dict({
+        "model_config": {"architecture": "AASIST"},
+        "parallel_config": {"model_axis": 2, "sequence_parallel": "True"},
+    })
+    assert cfg.parallel.model_axis == 2
+    assert cfg.parallel.sequence_parallel is True
+    mesh = Experiment._mesh_from_config(cfg)
+    assert dict(mesh.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2}
+
+    cfg1 = ExperimentConfig.from_dict({"model_config": {}})
+    assert cfg1.parallel.model_axis == 1
+    mesh1 = Experiment._mesh_from_config(cfg1)
+    assert MODEL_AXIS not in mesh1.shape
+
+    toobig = ExperimentConfig.from_dict({
+        "model_config": {},
+        "parallel_config": {"data_axis": 8, "model_axis": 2},
+    })
+    with pytest.raises(ValueError):
+        Experiment._mesh_from_config(toobig)
+
+
 @pytest.mark.slow
 def test_sp_train_step_matches_single_device():
     """One LoRA train step with TP + SP on a (2, 2) mesh reproduces the
