@@ -168,12 +168,18 @@ class ParallelConfig:
     encoder (rade_tpu/parallel/tp.py); `sequence_parallel` adds the
     companion time-axis activation sharding (rade_tpu/parallel/sp.py) and
     implies `wavlm_sequence_parallel` on the model unless the model config
-    overrides it.  `data_axis` 0 (default) means "all remaining devices".
+    overrides it.  `pipeline_axis` > 1 adds a `pipe` mesh axis running the
+    SSL encoder layer stack as a GPipe microbatch pipeline
+    (rade_tpu/parallel/pp.py + nn/wavlm_pp.py); `pipeline_microbatches`
+    sets the microbatch count M (0 = the pipe size).  `data_axis` 0
+    (default) means "all remaining devices".
     """
 
     data_axis: int = 0
     model_axis: int = 1
     sequence_parallel: bool = False
+    pipeline_axis: int = 1
+    pipeline_microbatches: int = 0
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ParallelConfig":

@@ -314,10 +314,17 @@ class DualStreamSEMamba(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = False, freq_aug: bool = False,
         freeze_bn: bool = False, sinc_features: jax.Array = None,
+        wavlm_features: jax.Array = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        f_wavlm = WavLMFrontend(
-            self.wavlm_cfg, weighting=self.wavlm_weighting, name="wavlm_stream"
-        )(x, train)
+        if wavlm_features is not None:
+            # precomputed WavLM stream: the pipeline-parallel path computes
+            # it functionally outside the module (nn/wavlm_pp.py) because
+            # its params live in the stacked pp layout
+            f_wavlm = wavlm_features
+        else:
+            f_wavlm = WavLMFrontend(
+                self.wavlm_cfg, weighting=self.wavlm_weighting, name="wavlm_stream"
+            )(x, train)
         if sinc_features is not None:
             # precomputed sinc stream (the Pallas fast path computes it
             # outside the module via `sinc_encoder_fast` at scoring time)

@@ -82,6 +82,65 @@ def is_pp_layout(model_params: Dict[str, Any]) -> bool:
     return "layers_pipe" in model_params
 
 
+def detect_layout(model_params: Dict[str, Any]) -> Optional[str]:
+    """Which encoder layer layout a WavLMModel params subtree uses:
+    ``"pp"`` (stacked ``layers_pipe``), ``"scan"`` (``layers_0`` +
+    ``layers_scan``), ``"unrolled"`` (``layers_0..N-1``), or None when the
+    tree has no recognizable encoder layers."""
+    from rade_tpu.nn.wavlm import _is_unrolled_layer_key
+
+    if "layers_pipe" in model_params:
+        return "pp"
+    if "layers_scan" in model_params:
+        return "scan"
+    if any(_is_unrolled_layer_key(k) for k in model_params) or (
+        "layers_0" in model_params
+    ):
+        return "unrolled"
+    return None
+
+
+def _layout_num_layers(model_params: Dict[str, Any], layout: str) -> int:
+    from rade_tpu.nn.wavlm import _is_unrolled_layer_key
+
+    if layout == "pp":
+        return int(
+            jax.tree_util.tree_leaves(model_params["layers_pipe"])[0].shape[0]
+        )
+    if layout == "scan":
+        return 1 + int(
+            jax.tree_util.tree_leaves(model_params["layers_scan"])[0].shape[0]
+        )
+    return 1 + sum(1 for k in model_params if _is_unrolled_layer_key(k))
+
+
+def convert_layout(
+    model_params: Dict[str, Any], target: str
+) -> Dict[str, Any]:
+    """Convert a WavLMModel params subtree between the three encoder layer
+    layouts (``unrolled`` / ``scan`` / ``pp``), via unrolled as the hub.
+
+    Returns the tree unchanged when it is already in the target layout or
+    when no layout is recognizable (non-WavLM trees pass through)."""
+    from rade_tpu.nn.wavlm import stack_layer_params, unstack_layer_params
+
+    src = detect_layout(model_params)
+    if src is None or src == target:
+        return model_params
+    n = _layout_num_layers(model_params, src)
+    if src == "pp":
+        u = from_pp_layout(model_params, n)
+    elif src == "scan":
+        u = unstack_layer_params(model_params, n)
+    else:
+        u = model_params
+    if target == "pp":
+        return to_pp_layout(u, n)
+    if target == "scan":
+        return stack_layer_params(u, n)
+    return u
+
+
 # ---------------------------------------------------------------------------
 # functional forward
 # ---------------------------------------------------------------------------

@@ -103,6 +103,7 @@ def _sequential_apply(
     *,
     tap_weights: Optional[jax.Array],
     layer_keys: Optional[jax.Array],
+    extra: Any = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """S == 1 fallback: bit-identical math to the pipeline (including the
     per-microbatch rng fold), as one sequential scan over microbatches."""
@@ -129,7 +130,7 @@ def _sequential_apply(
         def one(carry, layer_inp):
             h, acc = carry
             p_j, k_j, w_j = layer_inp
-            h = layer_fn(p_j, h, k_j, m)
+            h = layer_fn(p_j, h, k_j, m, extra)
             acc = acc + w_j * h
             return (h, acc), None
 
@@ -154,14 +155,16 @@ def pipeline_apply(
     *,
     tap_weights: Optional[jax.Array] = None,
     layer_keys: Optional[jax.Array] = None,
+    extra: Any = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run ``x`` through L stacked layers, pipelined over the ``pipe`` axis.
 
     Args:
-      layer_fn: ``(layer_params_j, h, key_raw_j, microbatch_idx) -> h`` —
-        one layer, shape-preserving.  ``key_raw_j`` is this layer's row of
-        ``layer_keys`` (fold in ``microbatch_idx`` for per-microbatch
-        dropout); ignore it for deterministic layers.
+      layer_fn: ``(layer_params_j, h, key_raw_j, microbatch_idx, extra) ->
+        h`` — one layer, shape-preserving.  ``key_raw_j`` is this layer's
+        row of ``layer_keys`` (fold in ``microbatch_idx`` for
+        per-microbatch dropout); ignore it for deterministic layers.
+        ``extra`` is the broadcast pytree below.
       stacked_params: pytree whose leaves have a leading layer axis L
         (L % pipe_size == 0).
       x: ``(B, ...)`` activations; ``B % n_micro == 0``.
@@ -174,6 +177,8 @@ def pipeline_apply(
         the L hidden states.
       layer_keys: optional ``(L, key_width)`` uint32 raw PRNG key data
         (``jax.random.key_data``), sharded with the layers.
+      extra: optional pytree broadcast (replicated along ``pipe``) to every
+        layer call — e.g. a shared attention position bias.
 
     Returns ``(y, weighted_taps)``: the final layer's output ``(B, ...)``
     and the tap sum (or None).  Fully differentiable — the backward is the
@@ -184,7 +189,7 @@ def pipeline_apply(
     if S <= 1:
         return _sequential_apply(
             layer_fn, stacked_params, x, n_micro,
-            tap_weights=tap_weights, layer_keys=layer_keys,
+            tap_weights=tap_weights, layer_keys=layer_keys, extra=extra,
         )
 
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -209,14 +214,14 @@ def pipeline_apply(
     )
     fwd_perm = [(i, i + 1) for i in range(S - 1)]
 
-    def body(params_l, keys_l, w_l, x_m):
+    def body(params_l, keys_l, w_l, x_m, extra):
         stage = lax.axis_index(PIPE_AXIS)
 
         def apply_stage(h, m):
             def one(carry, inp):
                 h, acc = carry
                 p_j, k_j, w_j = inp
-                h = layer_fn(p_j, h, k_j, m)
+                h = layer_fn(p_j, h, k_j, m, extra)
                 acc = acc + w_j * h
                 return (h, acc), None
 
@@ -257,14 +262,15 @@ def pipeline_apply(
         return y, acc
 
     pspec = jax.tree.map(lambda _: P(PIPE_AXIS), stacked_params)
+    espec = jax.tree.map(lambda _: P(), extra)
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(pspec, P(PIPE_AXIS), P(PIPE_AXIS), P()),
+        in_specs=(pspec, P(PIPE_AXIS), P(PIPE_AXIS), P(), espec),
         out_specs=(P(), P()),
         axis_names={PIPE_AXIS},
     )
-    y, acc = fn(stacked_params, keys, w, x_m)
+    y, acc = fn(stacked_params, keys, w, x_m, extra)
     y = y.reshape((B,) + x.shape[1:])
     if not has_taps:
         return y, None

@@ -128,12 +128,28 @@ def spec_for_path(path: str, shape: Tuple[int, ...], n_model: int) -> P:
 
 def shard_tree(tree: Any, mesh: Mesh):
     """device_put every leaf of a (TrainState-like) pytree with its rule
-    sharding; non-array leaves (python scalars, None) become replicated."""
+    sharding; non-array leaves (python scalars, None) become replicated.
+
+    On meshes with a ``pipe`` axis, ``layers_pipe`` leaves (the stacked
+    pipeline-parallel WavLM layers, nn/wavlm_pp.py) additionally shard
+    their leading layer axis over ``pipe`` — composing with the
+    tensor-parallel column/row rules on the trailing dims."""
     n_model = model_axis_size(mesh)
+    from .pp import PIPE_AXIS  # local: pp imports tp at module level
+
+    n_pipe = int(mesh.shape.get(PIPE_AXIS, 1))
 
     def put(path, leaf):
         shape = tuple(getattr(leaf, "shape", ()))
-        spec = spec_for_path(_path_str(path), shape, n_model)
+        p = _path_str(path)
+        spec = spec_for_path(p, shape, n_model)
+        if (
+            n_pipe > 1 and "layers_pipe" in p
+            and shape and shape[0] % n_pipe == 0
+        ):
+            s = list(spec) + [None] * (len(shape) - len(spec))
+            s[0] = PIPE_AXIS
+            spec = P(*s)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, tree)

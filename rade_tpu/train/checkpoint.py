@@ -139,6 +139,39 @@ def merge_matching(template, raw, stats=None):
     return template
 
 
+def bridge_wavlm_layout(src, template):
+    """Convert a checkpoint's WavLM encoder layout to the target's.
+
+    A Phase-5 unrolled checkpoint (`layers_1..N-1`) can warm-start or be
+    scored under a `wavlm_scan_layers` config (stacked `layers_scan/layer`)
+    or a pipeline-parallel run (stacked `layers_pipe`, nn/wavlm_pp.py) and
+    vice versa; without the conversion the whole encoder silently keeps its
+    init (non-strict load) or the strict restore fails.  Best-effort:
+    returns `src` unchanged when the layouts already agree or the trees
+    don't look like a WavLM model."""
+    try:
+        s = src["model"]["wavlm_stream"]["model"]
+        t = template["model"]["wavlm_stream"]["model"]
+    except (KeyError, TypeError):
+        return src
+    from rade_tpu.nn.wavlm_pp import convert_layout, detect_layout
+
+    target = detect_layout(t)
+    if target is None or detect_layout(s) == target:
+        return src
+    try:
+        converted = convert_layout(s, target)
+    except Exception:
+        return src
+    return {
+        **src,
+        "model": {
+            **src["model"],
+            "wavlm_stream": {**src["model"]["wavlm_stream"], "model": converted},
+        },
+    }
+
+
 def load_eval_weights(path, params_template, batch_stats_template):
     """Load scoring weights from EITHER checkpoint layout.
 
@@ -165,6 +198,7 @@ def load_eval_weights(path, params_template, batch_stats_template):
         raise ValueError(
             f"unrecognized checkpoint layout in {path}: keys {sorted(raw)[:8]}"
         )
+    src = bridge_wavlm_layout(src, params_template)
     params = serialization.from_state_dict(params_template, src)
     batch_stats = serialization.from_state_dict(batch_stats_template, stats_raw)
     return params, batch_stats

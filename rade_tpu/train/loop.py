@@ -41,43 +41,7 @@ def _jit_swa_snapshot(state: TrainState) -> TrainState:
     return state.swa_snapshot()
 
 
-def _bridge_wavlm_layout(src, template):
-    """Convert a checkpoint's WavLM encoder layout to the target's.
-
-    A Phase-5 unrolled checkpoint (`layers_1..N-1`) can warm-start a
-    `wavlm_scan_layers` config (stacked `layers_scan/layer`) and vice versa;
-    without the conversion the whole encoder silently keeps its init during
-    a non-strict load.  Best-effort: returns `src` unchanged when the layouts
-    already agree or the trees don't look like a WavLM model."""
-    try:
-        s = src["model"]["wavlm_stream"]["model"]
-        t = template["model"]["wavlm_stream"]["model"]
-    except (KeyError, TypeError):
-        return src
-    from rade_tpu.nn.wavlm import (
-        _is_unrolled_layer_key, stack_layer_params, unstack_layer_params,
-    )
-
-    src_unrolled = any(_is_unrolled_layer_key(k) for k in s)
-    tgt_unrolled = any(_is_unrolled_layer_key(k) for k in t)
-    if src_unrolled == tgt_unrolled:
-        return src
-    try:
-        if src_unrolled:
-            n = 1 + sum(1 for k in s if _is_unrolled_layer_key(k))
-            converted = stack_layer_params(s, n)
-        else:
-            n = 1 + sum(1 for k in t if _is_unrolled_layer_key(k))
-            converted = unstack_layer_params(s, n)
-    except Exception:
-        return src
-    return {
-        **src,
-        "model": {
-            **src["model"],
-            "wavlm_stream": {**src["model"]["wavlm_stream"], "model": converted},
-        },
-    }
+from rade_tpu.train.checkpoint import bridge_wavlm_layout as _bridge_wavlm_layout
 
 
 def _unmatched_subtrees(template, merged):
@@ -110,13 +74,20 @@ class Experiment:
 
     @staticmethod
     def _mesh_from_config(cfg: ExperimentConfig):
-        """Mesh from `parallel_config`: 1-D data mesh by default, 2-D
-        (data, model) when model_axis > 1 (tensor/sequence parallelism)."""
+        """Mesh from `parallel_config`: 1-D data mesh by default; 2-D
+        (data, model) when model_axis > 1 (tensor/sequence parallelism);
+        3-D (data, pipe, model) when pipeline_axis > 1."""
         n_model = int(getattr(cfg.parallel, "model_axis", 1))
+        n_pipe = int(getattr(cfg.parallel, "pipeline_axis", 1))
+        n_devs = len(jax.devices())
+        if n_pipe > 1:
+            from rade_tpu.parallel.pp import make_mesh_pp
+
+            n_data = int(cfg.parallel.data_axis) or n_devs // (n_pipe * n_model)
+            return make_mesh_pp(n_data, n_pipe, n_model)
         if n_model > 1:
             from rade_tpu.parallel.tp import make_mesh_2d
 
-            n_devs = len(jax.devices())
             n_data = int(cfg.parallel.data_axis) or n_devs // n_model
             if n_data * n_model > n_devs:
                 raise ValueError(
@@ -134,9 +105,19 @@ class Experiment:
         # register the mesh for sequence-parallel activation constraints
         # (no-op for modules without sequence_parallel; deactivates when the
         # mesh has no model axis so later single-device runs stay unsharded)
+        from rade_tpu.parallel import pp as _pp
         from rade_tpu.parallel import sp as _sp
 
         _sp.activate(self.mesh)
+        # register for pipeline parallelism of the SSL encoder stack; the
+        # WavLM params convert to the stacked pp layout at the end of init.
+        # pipeline_axis > 1 on a pipe-less mesh (e.g. a 1-chip debug run of
+        # a pipeline config) keeps the pp layout and runs the bit-identical
+        # sequential fallback
+        _pp.activate(self.mesh)
+        self._use_pp = _pp.pipe_axis_size(self.mesh) > 1 or (
+            int(getattr(cfg.parallel, "pipeline_axis", 1)) > 1
+        )
         model_config = dict(cfg.model_config)
         if cfg.parallel.sequence_parallel:
             model_config.setdefault("wavlm_sequence_parallel", True)
@@ -199,15 +180,15 @@ class Experiment:
             from rade_tpu.nn.wavlm import wavlm_frozen_paths
 
             n_freeze = int(cfg.model_config.get("wavlm_freeze_layers", 18))
-            if cfg.model_config.get("wavlm_scan_layers") and n_freeze > 0 and (
-                not cfg.training.use_lora
-            ):
+            if (
+                cfg.model_config.get("wavlm_scan_layers") or self._use_pp
+            ) and n_freeze > 0 and not cfg.training.use_lora:
                 raise ValueError(
-                    "wavlm_scan_layers stacks encoder layers into one scan, so "
+                    "wavlm_scan_layers/pipeline_axis stack encoder layers, so "
                     "per-layer freezing (wavlm_freeze_layers > 0) is not "
                     "expressible as a parameter mask; use the unrolled encoder "
                     "for Phase-4 style layer freezing, or LoRA/full fine-tune "
-                    "(wavlm_freeze_layers = -1) with the scan"
+                    "(wavlm_freeze_layers = -1) with the stacked layouts"
                 )
             frozen = frozen + wavlm_frozen_paths(
                 n_freeze, use_lora=cfg.training.use_lora,
@@ -216,6 +197,7 @@ class Experiment:
         if cfg.training.use_fgm and cfg.training.fgm_emb_name:
             # FGM targets are explicitly unfrozen (reference main.py:516-544)
             always.append(cfg.training.fgm_emb_name)
+        self._freeze_spec = (frozen, tuple(always))
         self.trainable_mask = (
             make_trainable_mask(self.params, frozen, tuple(always)) if frozen else None
         )
@@ -240,6 +222,44 @@ class Experiment:
         self._load_ssl_pretrained(model_config)
         if cfg.pretrained_weights and Path(cfg.pretrained_weights).exists():
             self.load_weights(cfg.pretrained_weights, strict=False)
+
+        if self._use_pp:
+            # convert the WavLM stream to the stacked pp layout LAST, so the
+            # SSL-pretrained splice and warm-start above see the layout they
+            # expect (unrolled); checkpoints of this run save/restore in pp
+            # layout (converters: nn/wavlm_pp.py)
+            if "DualStreamSEMamba" not in cfg.architecture:
+                raise ValueError(
+                    "pipeline_axis > 1 is implemented for the "
+                    "DualStreamSEMamba flagship (WavLM stream); got "
+                    f"{cfg.architecture}"
+                )
+            if model_config.get("wavlm_scan_layers"):
+                raise ValueError(
+                    "wavlm_scan_layers and pipeline_axis > 1 are exclusive: "
+                    "the pipeline already scans the stacked layers per stage"
+                )
+            if model_config.get("wavlm_weighting", "softmax") != "softmax":
+                raise ValueError(
+                    "pipeline parallelism supports the softmax layer "
+                    "weighting (the flagship recipe)"
+                )
+            from rade_tpu.nn.wavlm_pp import to_pp_layout
+
+            n_layers = self.model.wavlm_cfg.num_hidden_layers
+            self.params["model"]["wavlm_stream"]["model"] = to_pp_layout(
+                self.params["model"]["wavlm_stream"]["model"], n_layers
+            )
+            if self.trainable_mask is not None:
+                # the mask tree must match the converted param structure
+                frozen, always = self._freeze_spec
+                self.trainable_mask = make_trainable_mask(
+                    self.params, frozen, always
+                )
+            print(
+                f"pipeline parallelism: {n_layers} WavLM layers over "
+                f"pipe={_pp.pipe_axis_size(self.mesh)} stages"
+            )
 
     def _load_ssl_pretrained(self, model_config) -> None:
         """Splice pretrained SSL weights into the fresh init.
@@ -370,12 +390,36 @@ class Experiment:
         count = 0
         momentum = None
 
+        wstream = params["model"].get("wavlm_stream", {})
+        if "layers_pipe" in wstream.get("model", {}):
+            # pp layout: the WavLM stream runs functionally; its value does
+            # not influence any BatchNorm (BN lives in the sinc stream), so
+            # the deterministic forward is used
+            from rade_tpu.nn.wavlm_pp import wavlm_features_pp
+            from rade_tpu.parallel import pp as _pp
+
+            def wavlm_fn(xb):
+                return wavlm_features_pp(
+                    wstream, xb, model.wavlm_cfg,
+                    mesh=_pp.active_mesh(),
+                    n_micro=int(
+                        getattr(self.cfg.parallel, "pipeline_microbatches", 0)
+                    ),
+                    train=False,
+                )
+        else:
+            wavlm_fn = None
+
         def apply_stats(cur, xb):
+            xb = jnp.asarray(xb)
+            kw = {}
+            if wavlm_fn is not None:
+                kw["wavlm_features"] = wavlm_fn(xb)
             _, upd = model.apply(
                 {"params": params["model"], "batch_stats": cur},
-                jnp.asarray(xb), train=True,
+                xb, train=True,
                 rngs={"dropout": rng, "freq_aug": rng},
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], **kw,
             )
             return upd["batch_stats"]
 
@@ -436,13 +480,17 @@ class Experiment:
             describe_sharding, model_axis_size, shard_tree,
         )
 
-        if model_axis_size(self.mesh) > 1:
-            print(describe_sharding(self.params, self.mesh))
-            # 2-D (data, model) mesh: Megatron-style sharding of the SSL
-            # encoder weights (and their optimizer/EMA/SWA mirrors) over the
-            # model axis; everything unmatched stays replicated.  The jit'd
-            # step picks the shardings up from the donated state and GSPMD
-            # inserts the per-layer collectives.
+        from rade_tpu.parallel.pp import pipe_axis_size
+
+        if model_axis_size(self.mesh) > 1 or pipe_axis_size(self.mesh) > 1:
+            if model_axis_size(self.mesh) > 1:
+                print(describe_sharding(self.params, self.mesh))
+            # 2-D/3-D mesh: Megatron-style sharding of the SSL encoder
+            # weights over `model` and/or the stacked pipeline layers over
+            # `pipe` (plus their optimizer/EMA/SWA mirrors); everything
+            # unmatched stays replicated.  The jit'd step picks the
+            # shardings up from the donated state and GSPMD inserts the
+            # collectives.
             self.state = shard_tree(state, self.mesh)
         else:
             self.state = jax.device_put(state, NamedSharding(self.mesh, P()))

@@ -65,6 +65,27 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Tuple[Callable, Callable]:
     (loss, (new_batch_stats, logits))`` is the differentiated part.
     """
     tc = cfg.training
+    pp_micro = int(getattr(cfg.parallel, "pipeline_microbatches", 0))
+
+    def _maybe_pp_features(model_params, x_in, train, rng=None):
+        """Pipeline-parallel WavLM stream: when the params are in the
+        stacked pp layout (Experiment converts them when the mesh has a
+        pipe axis), compute the stream functionally outside the module —
+        differentiable, so FGM/grads flow through it unchanged."""
+        wstream = (
+            model_params.get("wavlm_stream")
+            if isinstance(model_params, dict) else None
+        )
+        if wstream is None or "layers_pipe" not in wstream.get("model", {}):
+            return None
+        from rade_tpu.nn.wavlm_pp import wavlm_features_pp
+        from rade_tpu.parallel import pp as _pp
+
+        return wavlm_features_pp(
+            wstream, x_in, model.wavlm_cfg,
+            mesh=_pp.active_mesh(), n_micro=pp_micro,
+            train=train, rng=rng,
+        )
 
     def compute(logits, feats, loss_params, targets_soft, y_hard):
         if tc.use_ocsoftmax:
@@ -116,6 +137,12 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Tuple[Callable, Callable]:
         variables = {"params": model_params, "batch_stats": bs_in}
         mutable = False if tc.freeze_bn else ["batch_stats"]
         extra = {} if sinc_features is None else {"sinc_features": sinc_features}
+        wf = _maybe_pp_features(
+            model_params, x_in, train=True,
+            rng=jax.random.fold_in(rngs["dropout"], 17),
+        )
+        if wf is not None:
+            extra["wavlm_features"] = wf
         out = model.apply(
             variables, x_in,
             train=True, freq_aug=cfg.freq_aug, freeze_bn=tc.freeze_bn,
@@ -494,6 +521,7 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
         "DualStreamSEMamba" in cfg.architecture
     )
     sinc_channels = int(cfg.model_config.get("sinc_channels", 70))
+    pp_micro = int(getattr(cfg.parallel, "pipeline_microbatches", 0))
 
     def eval_step(params, batch_stats, x):
         model_params = params["model"]
@@ -502,6 +530,42 @@ def make_eval_step(model, cfg: ExperimentConfig) -> Callable:
             batch_stats = cast_tree(batch_stats, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
         variables = {"params": model_params, "batch_stats": batch_stats}
+        wstream = (
+            model_params.get("wavlm_stream")
+            if isinstance(model_params, dict) else None
+        )
+        if wstream is not None and "layers_pipe" in wstream.get("model", {}):
+            # pipeline-parallel (pp-layout) WavLM stream — functional path;
+            # falls back to an in-chip sequential scan on pipe-less meshes
+            from rade_tpu.nn.wavlm_pp import wavlm_features_pp
+            from rade_tpu.parallel import pp as _pp
+
+            wf = wavlm_features_pp(
+                wstream, x, model.wavlm_cfg,
+                mesh=_pp.active_mesh(), n_micro=pp_micro, train=False,
+            )
+            if use_fast_sinc:
+                from rade_tpu.models.dual_stream_se_mamba import (
+                    sinc_encoder_fast,
+                )
+
+                sf = sinc_encoder_fast(
+                    model_params["sinc_stream"], batch_stats["sinc_stream"],
+                    x, sinc_channels=sinc_channels,
+                )
+                feats, logits = model.apply(
+                    variables, x, train=False,
+                    wavlm_features=wf, sinc_features=sf,
+                )
+            else:
+                feats, logits = model.apply(
+                    variables, x, train=False, wavlm_features=wf
+                )
+            feats = feats.astype(jnp.float32)
+            logits = logits.astype(jnp.float32)
+            if use_oc:
+                return L.ocsoftmax_scores(params["loss"], feats)
+            return logits[:, 1]
         if use_fast_sinc:
             from rade_tpu.models.dual_stream_se_mamba import sinc_encoder_fast
 

@@ -23,8 +23,8 @@ def _pp_clean():
     pp.deactivate()
 
 
-def _layer_fn(p, h, key_raw, m):
-    del key_raw, m
+def _layer_fn(p, h, key_raw, m, extra=None):
+    del key_raw, m, extra
     return jnp.tanh(h @ p["w"] + p["b"])
 
 
@@ -84,7 +84,7 @@ def test_pipeline_rng_fold_matches_sequential():
     """Per-microbatch key folding is schedule-independent: the pipelined
     run folds the same (layer, microbatch) keys as the sequential one."""
 
-    def noisy_layer(p, h, key_raw, m):
+    def noisy_layer(p, h, key_raw, m, extra=None):
         key = jax.random.fold_in(jax.random.wrap_key_data(key_raw), m)
         return jnp.tanh(h @ p["w"] + p["b"]) + 0.01 * jax.random.normal(
             key, h.shape
