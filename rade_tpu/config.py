@@ -172,7 +172,13 @@ class ParallelConfig:
     SSL encoder layer stack as a GPipe microbatch pipeline
     (rade_tpu/parallel/pp.py + nn/wavlm_pp.py); `pipeline_microbatches`
     sets the microbatch count M (0 = the pipe size).  `data_axis` 0
-    (default) means "all remaining devices".
+    (default) means "all remaining devices".  `fsdp` turns on ZeRO-style
+    fully-sharded data parallelism (rade_tpu/parallel/tp.py::shard_tree):
+    every large parameter leaf — and its optimizer/EMA/SWA mirrors — is
+    sharded over the `data` axis (GSPMD all-gathers weights at use and
+    reduce-scatters gradients), cutting per-chip state memory ~n_data-fold;
+    `fsdp_min_size` is the element-count floor below which leaves stay
+    replicated (collectives on tiny tensors cost more than they save).
     """
 
     data_axis: int = 0
@@ -180,14 +186,17 @@ class ParallelConfig:
     sequence_parallel: bool = False
     pipeline_axis: int = 1
     pipeline_microbatches: int = 0
+    fsdp: bool = False
+    fsdp_min_size: int = 16384
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ParallelConfig":
         d = _drop_comments(d)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        if "sequence_parallel" in kwargs:
-            kwargs["sequence_parallel"] = str_to_bool(kwargs["sequence_parallel"])
+        for k in ("sequence_parallel", "fsdp"):
+            if k in kwargs:
+                kwargs[k] = str_to_bool(kwargs[k])
         return cls(**kwargs)
 
 

@@ -126,18 +126,50 @@ def spec_for_path(path: str, shape: Tuple[int, ...], n_model: int) -> P:
     return P()
 
 
-def shard_tree(tree: Any, mesh: Mesh):
+def fsdp_spec(
+    spec: P, shape: Tuple[int, ...], n_data: int, min_size: int
+) -> P:
+    """Compose a ZeRO/FSDP sharding onto ``spec``: shard the largest
+    still-unsharded axis divisible by the data-axis size over ``data``.
+
+    Leaves smaller than ``min_size`` elements (BN stats, biases, norms,
+    LoRA-A) stay as-is — all-gathering tiny tensors costs more latency than
+    the memory they would save.  Returns ``spec`` unchanged when no axis
+    qualifies, so odd shapes are always safe (just replicated)."""
+    ndim = len(shape)
+    if n_data <= 1 or ndim == 0 or int(np.prod(shape)) < min_size:
+        return spec
+    s = list(spec) + [None] * (ndim - len(spec))
+    candidates = [
+        i for i in range(ndim) if s[i] is None and shape[i] % n_data == 0
+    ]
+    if not candidates:
+        return spec
+    axis = max(candidates, key=lambda i: shape[i])
+    s[axis] = DATA_AXIS
+    return P(*s)
+
+
+def shard_tree(tree: Any, mesh: Mesh, fsdp: bool = False, fsdp_min_size: int = 16384):
     """device_put every leaf of a (TrainState-like) pytree with its rule
     sharding; non-array leaves (python scalars, None) become replicated.
 
     On meshes with a ``pipe`` axis, ``layers_pipe`` leaves (the stacked
     pipeline-parallel WavLM layers, nn/wavlm_pp.py) additionally shard
     their leading layer axis over ``pipe`` — composing with the
-    tensor-parallel column/row rules on the trailing dims."""
+    tensor-parallel column/row rules on the trailing dims.
+
+    ``fsdp`` adds ZeRO-style fully-sharded data parallelism: each large
+    leaf's biggest remaining axis is sharded over ``data`` (`fsdp_spec`).
+    The jit'd train step picks the shardings up from the donated state, so
+    GSPMD all-gathers weights at their use sites and reduce-scatters the
+    gradients — per-chip param+optimizer+EMA+SWA memory drops ~n_data-fold
+    with no change to the step function."""
     n_model = model_axis_size(mesh)
     from .pp import PIPE_AXIS  # local: pp imports tp at module level
 
     n_pipe = int(mesh.shape.get(PIPE_AXIS, 1))
+    n_data = int(mesh.shape.get(DATA_AXIS, 1))
 
     def put(path, leaf):
         shape = tuple(getattr(leaf, "shape", ()))
@@ -150,6 +182,8 @@ def shard_tree(tree: Any, mesh: Mesh):
             s = list(spec) + [None] * (len(shape) - len(spec))
             s[0] = PIPE_AXIS
             spec = P(*s)
+        if fsdp:
+            spec = fsdp_spec(spec, shape, n_data, fsdp_min_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, tree)

@@ -410,8 +410,12 @@ class Experiment:
         else:
             wavlm_fn = None
 
+        # jit: one program per batch instead of per-op eager dispatch — much
+        # faster, and REQUIRED under FSDP/tensor sharding: eager ops on
+        # sharded params each enqueue their own all-gather mini-programs,
+        # whose rendezvous order can deadlock the in-process CPU communicator
+        @jax.jit
         def apply_stats(cur, xb):
-            xb = jnp.asarray(xb)
             kw = {}
             if wavlm_fn is not None:
                 kw["wavlm_features"] = wavlm_fn(xb)
@@ -482,16 +486,24 @@ class Experiment:
 
         from rade_tpu.parallel.pp import pipe_axis_size
 
-        if model_axis_size(self.mesh) > 1 or pipe_axis_size(self.mesh) > 1:
+        fsdp = bool(getattr(cfg.parallel, "fsdp", False))
+        if (
+            model_axis_size(self.mesh) > 1 or pipe_axis_size(self.mesh) > 1
+            or fsdp
+        ):
             if model_axis_size(self.mesh) > 1:
                 print(describe_sharding(self.params, self.mesh))
             # 2-D/3-D mesh: Megatron-style sharding of the SSL encoder
             # weights over `model` and/or the stacked pipeline layers over
             # `pipe` (plus their optimizer/EMA/SWA mirrors); everything
-            # unmatched stays replicated.  The jit'd step picks the
-            # shardings up from the donated state and GSPMD inserts the
-            # collectives.
-            self.state = shard_tree(state, self.mesh)
+            # unmatched stays replicated.  `fsdp` additionally ZeRO-shards
+            # every large leaf over `data` (parallel/tp.py::fsdp_spec).
+            # The jit'd step picks the shardings up from the donated state
+            # and GSPMD inserts the collectives.
+            self.state = shard_tree(
+                state, self.mesh, fsdp=fsdp,
+                fsdp_min_size=int(getattr(cfg.parallel, "fsdp_min_size", 16384)),
+            )
         else:
             self.state = jax.device_put(state, NamedSharding(self.mesh, P()))
         return self.state
