@@ -41,6 +41,10 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.model_config["use_pallas_scan_training"] = False
     if "nofastrng" in flags:
         cfg.training.fast_rng = False
+    if "rematdots" in flags:
+        cfg.model_config["wavlm_remat_policy"] = "dots"
+    elif "rematdnb" in flags:
+        cfg.model_config["wavlm_remat_policy"] = "dots_no_batch"
     if "nativesinc" in flags:
         cfg.model_config["use_pallas_resblock_training"] = "native"
     elif "fastsinc" in flags:

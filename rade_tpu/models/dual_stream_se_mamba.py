@@ -286,6 +286,7 @@ class DualStreamSEMamba(nn.Module):
             lora_rank=lora_rank,
             lora_alpha=int(model_config.get("lora_alpha", 32)),
             remat=bool(model_config.get("wavlm_remat", True)),
+            remat_policy=str(model_config.get("wavlm_remat_policy", "full")),
             scan_layers=bool(model_config.get("wavlm_scan_layers", False)),
             flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
             sequence_parallel=bool(

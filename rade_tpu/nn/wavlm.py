@@ -65,6 +65,12 @@ class WavLMConfig:
     # MHA (wav2vec2 / XLS-R family — no bias table, no gate)
     attention_type: str = "wavlm"
     remat: bool = False  # jax.checkpoint each encoder layer
+    # rematerialization policy for the layer checkpoint: 'full' recomputes
+    # everything in the backward (minimum memory); 'dots' saves matmul
+    # outputs (jax.checkpoint_policies.checkpoint_dots) so the backward
+    # skips recomputing the MXU work and only replays the cheap
+    # elementwise/softmax ops — more activation memory, less recompute time
+    remat_policy: str = "full"
     # stack layers 1..N-1 into one nn.scan: ~N-fold smaller traced/compiled
     # graph (WavLM-Large train-step compiles drop from tens of minutes to
     # minutes) at identical math.  Param layout changes: `layers_1..N-1`
@@ -151,6 +157,18 @@ def relative_position_buckets(
     buckets += np.where(is_small, rel, rel_large)
     return buckets
 
+
+
+def _remat_policy(name: str):
+    """Map WavLMConfig.remat_policy to a jax.checkpoint policy (None =
+    recompute everything, the jax.checkpoint default)."""
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    if name == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name in ("full", "", None):
+        return None
+    raise ValueError(f"unknown remat_policy {name!r} (full | dots | dots_no_batch)")
 
 class WavLMAttention(nn.Module):
     cfg: WavLMConfig
@@ -325,7 +343,10 @@ class _ScanLayerBody(nn.Module):
     def __call__(self, h, position_bias, train):
         layer_cls = WavLMEncoderLayer
         if self.cfg.remat:
-            layer_cls = nn.remat(WavLMEncoderLayer, static_argnums=(3,))
+            layer_cls = nn.remat(
+                WavLMEncoderLayer, static_argnums=(3,),
+                policy=_remat_policy(self.cfg.remat_policy),
+            )
         h, _ = layer_cls(self.cfg, has_relative_position_bias=False, name="layer")(
             h, position_bias, train
         )
@@ -359,7 +380,10 @@ class WavLMModel(nn.Module):
         position_bias = None
         layer_cls = WavLMEncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(WavLMEncoderLayer, static_argnums=(3,))
+            layer_cls = nn.remat(
+                WavLMEncoderLayer, static_argnums=(3,),
+                policy=_remat_policy(cfg.remat_policy),
+            )
         if cfg.scan_layers and cfg.num_hidden_layers > 1:
             # layer 0 owns the relative-position-bias table; layers 1..N-1
             # are structurally identical and run as ONE nn.scan over stacked
