@@ -14,6 +14,7 @@ HERE = Path(__file__).parent
 
 TARGETS = {
     "librade_flac.so": ["flacdec.cpp"],
+    "librade_loader.so": ["loader.cpp", "flacdec.cpp"],
 }
 
 
@@ -28,7 +29,7 @@ def build(force: bool = False) -> None:
         ):
             continue
         cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
             "-o", str(out), *[str(s) for s in srcs],
         ]
         print("+", " ".join(cmd))

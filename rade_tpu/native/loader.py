@@ -1,0 +1,86 @@
+"""ctypes wrapper around the native batched audio loader (loader.cpp).
+
+``batch_load(paths, T)`` reads + decodes + pads a whole batch of FLAC/WAV
+files in a C++ thread pool (no GIL, no per-item Python), writing directly
+into one (N, T) float32 array — the TPU-native replacement for the
+reference's torch DataLoader worker processes
+(``/root/reference/src/main.py:914-953``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB = None
+
+NATIVE_EXTS = (".flac", ".wav")  # formats loader.cpp decodes natively
+
+
+def default_threads() -> int:
+    env = os.environ.get("RADE_LOADER_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(2, min(16, os.cpu_count() or 4))
+
+
+def _load():
+    global _LIB
+    if _LIB is None:
+        from .build import build
+
+        build()
+        lib = ctypes.CDLL(str(Path(__file__).parent / "librade_loader.so"))
+        lib.rade_batch_load.restype = ctypes.c_int64
+        lib.rade_batch_load.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def batch_load(
+    paths: Sequence[str],
+    T: int,
+    u_starts: Optional[np.ndarray] = None,
+    threads: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Load a batch of audio files -> ((N, T) float32, (N,) int64 lengths).
+
+    ``u_starts`` (per-item uniform [0,1) draws) selects the training
+    ``pad_random`` crop; ``None`` selects the deterministic eval ``pad``
+    (head-crop / tile) — semantics of :mod:`rade_tpu.data.padding`.
+
+    ``lengths[i]`` is the decoded sample count, or a negative error code
+    with a zero-filled row (the caller decides whether that is fatal).
+    """
+    lib = _load()
+    n = len(paths)
+    out = np.empty((n, int(T)), dtype=np.float32)
+    lengths = np.empty((n,), dtype=np.int64)
+    if n == 0:
+        return out, lengths
+    c_paths = (ctypes.c_char_p * n)(
+        *[os.fsencode(str(p)) for p in paths]
+    )
+    if u_starts is not None:
+        u = np.ascontiguousarray(u_starts, dtype=np.float64)
+        assert u.shape == (n,)
+        u_ptr = u.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        u_ptr = None
+    lib.rade_batch_load(
+        c_paths, n, u_ptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(T),
+        int(threads if threads is not None else default_threads()),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out, lengths
