@@ -146,13 +146,22 @@ class DataConfig:
     # Single-process only.
     device_cache: bool = False
     device_cache_max_gb: float = 4.0
+    # TPU-native extension: decode+pad whole micro-batches in the C++ loader
+    # thread pool (rade_tpu/native/loader.cpp) instead of per-sample Python —
+    # the runtime replacement for the reference's DataLoader worker processes
+    # (/root/reference/src/main.py:914-953).  Falls back to the Python path
+    # automatically for non-FLAC/WAV synthetic sets or when g++ is absent.
+    native_loader: bool = True
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DataConfig":
         d = _drop_comments(d)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        for key in ("use_rawboost", "use_codec_aug", "on_device_aug", "device_cache"):
+        for key in (
+            "use_rawboost", "use_codec_aug", "on_device_aug", "device_cache",
+            "native_loader",
+        ):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])
         return cls(**kwargs)

@@ -23,6 +23,27 @@ from .padding import MAX_LEN, pad, pad_random
 PathLike = Union[str, Path]
 
 
+def _resolve_native_paths(
+    base: Path, keys: Sequence[str]
+) -> "list[str] | None":
+    """Resolve every key to a file the native loader decodes (.flac/.wav).
+
+    Returns None when any key resolves to an unsupported format (.npy) or
+    is missing — callers then fall back to the per-sample Python path,
+    which raises its usual FileNotFoundError at access time.
+    """
+    out: list[str] = []
+    for key in keys:
+        for ext in (".flac", ".wav"):
+            p = base / f"{key}{ext}"
+            if p.exists():
+                out.append(str(p))
+                break
+        else:
+            return None
+    return out
+
+
 class TrainDataset:
     """ASVspoof2019 train set with per-item RawBoost + codec augmentation."""
 
@@ -64,6 +85,60 @@ class TrainDataset:
             x = apply_codec_sim(x, rng=self.rng)
         x = pad_random(x, self.cut, rng=self.rng)
         return x.astype(np.float32), self.labels[key]
+
+    # ------------------------------------------------------- native batch path
+    _native_paths: "list[str] | None | bool" = False  # False = not probed yet
+
+    def native_batch(
+        self, idxs: np.ndarray, rng: np.random.RandomState
+    ) -> "Tuple[np.ndarray, np.ndarray] | None":
+        """Batch-level decode+pad in the native C++ thread pool.
+
+        Replaces the reference's DataLoader worker-process fan-out
+        (`/root/reference/src/main.py:914-953`): the whole micro-batch is
+        read, FLAC/WAV-decoded and random-cropped by `librade_loader.so`
+        into one (N, T) float32 buffer, releasing the GIL.
+
+        Host RawBoost/codec augmentation, when enabled, is applied on the
+        cropped rows afterwards.  NOTE the documented deviation: the
+        reference augments the FULL waveform and then crops
+        (`src/data_utils.py:163-181`); augmenting the 64600-sample crop
+        differs only in the FIR transient at the row edge and in RMS
+        normalization over the crop instead of the full utterance.
+
+        Returns None when the files aren't natively decodable (e.g. .npy
+        synthetic sets) — callers fall back to the per-sample Python path.
+        """
+        if self._native_paths is False:
+            self._native_paths = _resolve_native_paths(
+                self.base_dir / "flac", self.keys
+            )
+        if self._native_paths is None:
+            return None
+        from rade_tpu.native.loader import batch_load
+
+        paths = [self._native_paths[int(i)] for i in idxs]
+        u = rng.rand(len(paths))
+        xs, _ = batch_load(paths, self.cut, u_starts=u)
+        ys = np.asarray(
+            [self.labels[self.keys[int(i)]] for i in idxs], dtype=np.int32
+        )
+        if self.rawboost is not None or self.use_codec:
+            for r in range(xs.shape[0]):
+                x = xs[r].astype(np.float64)
+                changed = False
+                if self.rawboost is not None and self.rng.rand() < self.rawboost_p:
+                    try:
+                        x = self.rawboost.process(x)
+                        changed = True
+                    except Exception:
+                        pass  # reference falls back to clean audio
+                if self.use_codec and self.rng.rand() < self.codec_p:
+                    x = apply_codec_sim(x, rng=self.rng)
+                    changed = True
+                if changed:
+                    xs[r] = pad(x, self.cut).astype(np.float32)
+        return xs, ys
 
     def load_clean(self, index: int) -> Tuple[np.ndarray, int]:
         """CLEAN waveform cropped/tiled to `cut` + label, for the cache.
@@ -116,6 +191,33 @@ class EvalDataset:
             # 2021-eval behavior: unreadable audio -> zeros (data_utils.py:221-228)
             x = np.zeros(self.cut, dtype=np.float64)
         return pad(x, self.cut).astype(np.float32), key
+
+    # ------------------------------------------------------- native batch path
+    _native_paths: "list[str] | None | bool" = False
+
+    def native_batch(
+        self, lo: int, hi: int
+    ) -> "Tuple[np.ndarray, List[str]] | None":
+        """Native batched decode with deterministic eval padding.
+
+        ``zero_pad_on_error`` maps to the loader's lenient mode (zero rows
+        for unreadable files — the 2021-eval fallback,
+        `/root/reference/src/data_utils.py:221-228`); otherwise a decode
+        failure raises like the Python path does.
+        """
+        if self._native_paths is False:
+            self._native_paths = _resolve_native_paths(
+                self.base_dir / "flac", self.keys
+            )
+        if self._native_paths is None:
+            return None
+        from rade_tpu.native.loader import batch_load
+
+        xs, _ = batch_load(
+            self._native_paths[lo:hi], self.cut,
+            lenient=self.zero_pad_on_error,
+        )
+        return xs, self.keys[lo:hi]
 
 
 class InTheWildDataset:

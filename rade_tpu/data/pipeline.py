@@ -26,15 +26,21 @@ class TrainBatcher:
 
     def __init__(
         self, dataset, batch_size: int, seed: int = 0, drop_last: bool = True,
-        process_index: int = 0, process_count: int = 1,
+        process_index: int = 0, process_count: int = 1, native: bool = True,
     ):
         """`batch_size` is the GLOBAL batch; with multiple processes each
         host materializes only its `batch_size / process_count` rows of every
-        batch (identical permutation on all hosts via the shared seed)."""
+        batch (identical permutation on all hosts via the shared seed).
+
+        ``native=True`` (default) decodes whole micro-batches in the C++
+        loader thread pool when the dataset supports it
+        (``dataset.native_batch``), falling back to the per-sample Python
+        path otherwise."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self.native = native
         if batch_size % process_count:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by {process_count} processes"
@@ -59,7 +65,24 @@ class TrainBatcher:
             ][lo : lo + per].astype(np.int32)
 
     def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        native_fn = (
+            getattr(self.dataset, "native_batch", None) if self.native else None
+        )
+        crop_rng = np.random.RandomState(
+            (self.seed * 2246822519 + 2654435761 * epoch_idx + 1) % (2**31 - 1)
+        )
         for idxs in self.epoch_indices(epoch_idx):
+            if native_fn is not None:
+                try:
+                    out = native_fn(idxs, crop_rng)
+                except (ImportError, OSError) as e:  # no toolchain / bad .so
+                    print(f"native loader unavailable ({e}); using Python path")
+                    out = None
+                    native_fn = None
+                if out is not None:
+                    yield out
+                    continue
+                native_fn = None  # dataset can't serve natively; stop probing
             xs, ys = zip(*(self.dataset[int(i)] for i in idxs))
             yield np.stack(xs), np.asarray(ys, dtype=np.int32)
 
@@ -71,21 +94,37 @@ class EvalBatcher:
     jit'd forward keeps a single static shape.
     """
 
-    def __init__(self, dataset, batch_size: int):
+    def __init__(self, dataset, batch_size: int, native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.native = native
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, Sequence[str], int]]:
         n = len(self.dataset)
+        native_fn = (
+            getattr(self.dataset, "native_batch", None) if self.native else None
+        )
         for b in range(len(self)):
             lo = b * self.batch_size
             hi = min(lo + self.batch_size, n)
-            items = [self.dataset[i] for i in range(lo, hi)]
-            xs = np.stack([it[0] for it in items])
-            keys = [it[1] for it in items]
+            out = None
+            if native_fn is not None:
+                try:
+                    out = native_fn(lo, hi)
+                except (ImportError, OSError) as e:
+                    print(f"native loader unavailable ({e}); using Python path")
+                if out is None:
+                    native_fn = None
+            if out is not None:
+                xs, keys = out
+                keys = list(keys)
+            else:
+                items = [self.dataset[i] for i in range(lo, hi)]
+                xs = np.stack([it[0] for it in items])
+                keys = [it[1] for it in items]
             n_valid = hi - lo
             if n_valid < self.batch_size:
                 padrows = np.zeros(

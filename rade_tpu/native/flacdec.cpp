@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -240,14 +241,13 @@ int64_t flac_decode(const uint8_t* data, int64_t size, int32_t* out,
     if (!parse_streaminfo(data, size, &si)) return -1;
     BitReader br{data, size, si.frames_start, 0};
     const int max_block = 65536;
-    static thread_local int64_t* chan_buf = nullptr;
-    static thread_local int64_t chan_cap = 0;
+    // thread_local std::vector so the scratch is destroyed at thread exit —
+    // loader.cpp spawns fresh worker threads per batch, and a raw
+    // thread_local pointer would leak its allocation on every thread exit.
+    static thread_local std::vector<int64_t> chan_scratch;
     int64_t need = (int64_t)max_block * si.channels;
-    if (chan_cap < need) {
-        delete[] chan_buf;
-        chan_buf = new int64_t[need];
-        chan_cap = need;
-    }
+    if ((int64_t)chan_scratch.size() < need) chan_scratch.resize((size_t)need);
+    int64_t* chan_buf = chan_scratch.data();
 
     int64_t written = 0;  // samples per channel
     while (true) {

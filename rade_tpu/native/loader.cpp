@@ -63,6 +63,10 @@ int64_t wav_decode_mono(const uint8_t* data, int64_t size,
             fmt = rd_u16le(body);
             channels = rd_u16le(body + 2);
             sampwidth = rd_u16le(body + 14) / 8;
+            // WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes
+            // of the SubFormat GUID in the fmt-chunk extension (stdlib wave —
+            // the Python fallback in data/audio_io.py — accepts these too).
+            if (fmt == 0xFFFE && csize >= 40) fmt = rd_u16le(body + 24);
         } else if (!memcmp(id, "data", 4)) {
             pcm = body;
             pcm_size = csize;

@@ -52,6 +52,7 @@ def batch_load(
     T: int,
     u_starts: Optional[np.ndarray] = None,
     threads: Optional[int] = None,
+    lenient: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Load a batch of audio files -> ((N, T) float32, (N,) int64 lengths).
 
@@ -60,7 +61,11 @@ def batch_load(
     (head-crop / tile) — semantics of :mod:`rade_tpu.data.padding`.
 
     ``lengths[i]`` is the decoded sample count, or a negative error code
-    with a zero-filled row (the caller decides whether that is fatal).
+    with a zero-filled row.  By default any failure raises (the training
+    pipeline must never silently train on zero waveforms — the reference
+    raises on unreadable files too); pass ``lenient=True`` on eval paths
+    that intentionally keep zero rows (the 2021-eval zero-pad fallback,
+    ``/root/reference/src/data_utils.py:221-228``).
     """
     lib = _load()
     n = len(paths)
@@ -73,14 +78,28 @@ def batch_load(
     )
     if u_starts is not None:
         u = np.ascontiguousarray(u_starts, dtype=np.float64)
-        assert u.shape == (n,)
+        if u.shape != (n,):
+            raise ValueError(
+                f"u_starts must have shape ({n},), got {u.shape}"
+            )
         u_ptr = u.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     else:
         u_ptr = None
-    lib.rade_batch_load(
+    failed = lib.rade_batch_load(
         c_paths, n, u_ptr,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), int(T),
         int(threads if threads is not None else default_threads()),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
+    if failed and not lenient:
+        bad = [
+            (str(paths[i]), int(lengths[i]))
+            for i in range(n)
+            if lengths[i] <= 0
+        ]
+        raise RuntimeError(
+            f"native batch_load failed on {failed}/{n} files "
+            f"(first few: {bad[:4]}); pass lenient=True to keep "
+            "zero-filled rows"
+        )
     return out, lengths

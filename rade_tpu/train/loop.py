@@ -539,14 +539,16 @@ class Experiment:
         )
         dev_ds = EvalDataset(dev_files, db / f"ASVspoof2019_{track}_dev", cut=self.nb_samp)
         eval_ds = EvalDataset(eval_files, db / f"ASVspoof2019_{track}_eval", cut=self.nb_samp)
+        native = bool(getattr(cfg.data, "native_loader", True))
         return (
             TrainBatcher(
                 train_ds, cfg.batch_size, seed=self.seed,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                native=native,
             ),
-            EvalBatcher(dev_ds, cfg.test.batch_size),
-            EvalBatcher(eval_ds, cfg.test.batch_size),
+            EvalBatcher(dev_ds, cfg.test.batch_size, native=native),
+            EvalBatcher(eval_ds, cfg.test.batch_size, native=native),
             dev_proto,
             eval_proto,
         )

@@ -118,22 +118,71 @@ def test_tdcf_rejects_degenerate_scores():
         )
 
 
-_B01 = "/root/reference/tDCF_python_v2/scores/B01_LA_primary_eval.txt"
+# ---------------------------------------------------------------------------
+# Real-data goldens on the VENDORED official baseline score files.
+#
+# tests/data/B0{1,2}_LA_primary_eval.txt.gz are the official LFCC-GMM (B01)
+# and CQCC-GMM (B02) primary CM score files over the 71,237 ASVspoof19-LA
+# eval trials, shipped with the organizers' public tDCF_python_v2 package
+# (vendored gzipped so the goldens run without /root/reference present).
+# tests/data/asv_synth_scores.txt is a SYNTHESIZED ASV score file (the
+# official ASV blobs were stripped from the reference): seeded normals,
+# target ~ N(2,1) x2000, nontarget ~ N(-2,1.2) x2000, spoof ~ N(0,1.8)
+# x4000, RandomState(20190402).  All expected values below were computed
+# once with the official `tDCF_python_v2/eval_metrics.py` implementation.
+# ---------------------------------------------------------------------------
+
+import gzip
+import os
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+# (eer%, thr, min_tdcf_legacy, min_tdcf_revised) from the official package
+_BASELINE_GOLDENS = {
+    "B01": (9.572028, 2.909863, 0.26551356, 0.37745454),
+    "B02": (8.089825, 1.030046, 0.24079617, 0.35650426),
+}
 
 
-@pytest.mark.skipif(
-    not __import__("os").path.exists(_B01),
-    reason="official B01 baseline score file not present",
-)
-def test_eer_on_real_b01_baseline_scores():
-    """Real-data golden: the official LFCC-GMM B01 primary CM scores
-    (71k ASVspoof19-LA eval trials) shipped with tDCF_python_v2.  Expected
-    values computed once with the official `eval_metrics.compute_eer`."""
+def _load_vendored_cm(name):
     bona, spoof = [], []
-    with open(_B01) as f:
+    with gzip.open(
+        os.path.join(_DATA, f"{name}_LA_primary_eval.txt.gz"), "rt"
+    ) as f:
         for line in f:
             parts = line.split()
             (bona if parts[4] == "bonafide" else spoof).append(float(parts[-1]))
-    eer, thr = metrics.compute_eer(np.asarray(bona), np.asarray(spoof))
-    assert eer * 100 == pytest.approx(9.5720, abs=5e-4)
-    assert thr == pytest.approx(2.909863, abs=1e-5)
+    return np.asarray(bona), np.asarray(spoof)
+
+
+def _load_vendored_asv():
+    tar, non, spf = [], [], []
+    with open(os.path.join(_DATA, "asv_synth_scores.txt")) as f:
+        for line in f:
+            _, kind, score = line.split()
+            {"target": tar, "nontarget": non, "spoof": spf}[kind].append(
+                float(score)
+            )
+    return np.asarray(tar), np.asarray(non), np.asarray(spf)
+
+
+@pytest.mark.parametrize("name", ["B01", "B02"])
+def test_eer_and_tdcf_on_vendored_baseline_scores(name):
+    """Real-data golden: official baseline CM scores + synthesized ASV."""
+    bona, spoof = _load_vendored_cm(name)
+    assert len(bona) == 7355 and len(spoof) == 63882
+    exp_eer, exp_thr, exp_legacy, exp_rev = _BASELINE_GOLDENS[name]
+    eer, thr = metrics.compute_eer(bona, spoof)
+    assert eer * 100 == pytest.approx(exp_eer, abs=5e-5)
+    assert thr == pytest.approx(exp_thr, abs=1e-5)
+
+    tar, non, spf = _load_vendored_asv()
+    _, asv_thr = metrics.compute_eer(tar, non)
+    pfa, pmiss, pmiss_spoof, pfa_spoof = metrics.obtain_asv_error_rates(
+        tar, non, spf, asv_thr
+    )
+    assert (pfa, pmiss) == pytest.approx((0.0415, 0.0410), abs=1e-9)
+    tdcf_l, _ = metrics.compute_tdcf_legacy(bona, spoof, pfa, pmiss, pmiss_spoof)
+    assert float(np.min(tdcf_l)) == pytest.approx(exp_legacy, abs=1e-7)
+    tdcf_r, _ = metrics.compute_tdcf_revised(bona, spoof, pfa, pmiss, pfa_spoof)
+    assert float(np.min(tdcf_r)) == pytest.approx(exp_rev, abs=1e-7)

@@ -102,3 +102,34 @@ def test_codec_breakdown_and_report(df2021_files, tmp_path):
     got = write_codec_breakdown_report(scores, keys, str(out))
     assert got == pytest.approx(overall)
     assert "Breakdown by Codec" in out.read_text()
+
+
+def test_produce_evaluation_file_asserts_utt_order(tmp_path):
+    """Per-utterance order assert, like the reference src/main.py:989-993."""
+    from rade_tpu.evaluate.scorer import produce_evaluation_file
+
+    class FakeBatcher:
+        def __iter__(self):
+            # scored in an order that disagrees with the trial file
+            yield np.zeros((2, 4), np.float32), ["U2", "U1"], 2
+
+    trial = tmp_path / "trial.txt"
+    trial.write_text("S1 U1 - A07 spoof\nS2 U2 - - bonafide\n")
+
+    def eval_step(params, batch_stats, x):
+        return np.zeros(x.shape[0])
+
+    with pytest.raises(ValueError, match="order mismatch"):
+        produce_evaluation_file(
+            eval_step, None, None, FakeBatcher(), trial, tmp_path / "out.txt"
+        )
+
+    class GoodBatcher:
+        def __iter__(self):
+            yield np.zeros((2, 4), np.float32), ["U1", "U2"], 2
+
+    produce_evaluation_file(
+        eval_step, None, None, GoodBatcher(), trial, tmp_path / "out.txt"
+    )
+    rows = (tmp_path / "out.txt").read_text().strip().splitlines()
+    assert [r.split()[0] for r in rows] == ["U1", "U2"]
