@@ -14,7 +14,7 @@ HERE = Path(__file__).parent
 
 TARGETS = {
     "librade_flac.so": ["flacdec.cpp"],
-    "librade_loader.so": ["loader.cpp", "flacdec.cpp"],
+    "librade_loader.so": ["loader.cpp", "flacdec.cpp", "flacenc.cpp"],
 }
 
 

@@ -40,26 +40,57 @@ def _spoof(rng: np.random.RandomState, n: int) -> np.ndarray:
     return x
 
 
-def generate(out_dir: str, n_per_split: int = 40, seed: int = 0) -> Path:
+# Real LA split sizes (protocol line counts of the reference dataset),
+# for full-scale pipeline benchmarks: train 25,380 / dev 24,844 / eval 71,237.
+LA_SIZES = {"train": 25380, "dev": 24844, "eval": 71237}
+
+
+def generate(
+    out_dir: str,
+    n_per_split: int = 40,
+    seed: int = 0,
+    fmt: str = "wav",
+    split_sizes: "dict[str, int] | None" = None,
+    duration_range: "tuple[float, float] | None" = None,
+) -> Path:
+    """Generate the synthetic LA layout.
+
+    ``fmt='flac'`` writes FLAC via the native encoder (flacenc.cpp), giving
+    the pipeline benchmark the same decode cost profile as the real LA data;
+    ``split_sizes`` overrides per-split counts (e.g. ``LA_SIZES`` for a
+    real-size set); utterance durations are log-normal around ~3.2 s,
+    clipped to [1.2, 10] s, approximating the LA duration distribution
+    (override with ``duration_range`` for a uniform draw).
+    """
     root = Path(out_dir)
     rng = np.random.RandomState(seed)
     proto_dir = root / "ASVspoof2019_LA_cm_protocols"
     proto_dir.mkdir(parents=True, exist_ok=True)
+    if fmt == "flac":
+        from rade_tpu.native.loader import encode_flac16
     split_names = {
         "train": ("ASVspoof2019_LA_train", "ASVspoof2019.LA.cm.train.trn.txt"),
         "dev": ("ASVspoof2019_LA_dev", "ASVspoof2019.LA.cm.dev.trl.txt"),
         "eval": ("ASVspoof2019_LA_eval", "ASVspoof2019.LA.cm.eval.trl.txt"),
     }
     for split, (dirname, protoname) in split_names.items():
+        n_split = (split_sizes or {}).get(split, n_per_split)
         flac_dir = root / dirname / "flac"
         flac_dir.mkdir(parents=True, exist_ok=True)
         lines = []
-        for i in range(n_per_split):
+        for i in range(n_split):
             key = f"LA_{split.upper()[0]}_{i:07d}"
             is_bona = i % 2 == 0
-            n = int(rng.uniform(0.8, 4.5) * SR)
+            if duration_range is not None:
+                dur = rng.uniform(*duration_range)
+            else:
+                dur = float(np.clip(np.exp(rng.normal(np.log(3.2), 0.35)), 1.2, 10.0))
+            n = int(dur * SR)
             x = _bonafide(rng, n) if is_bona else _spoof(rng, n)
-            write_wav(flac_dir / f"{key}.wav", x, SR)
+            if fmt == "flac":
+                (flac_dir / f"{key}.flac").write_bytes(encode_flac16(x, SR))
+            else:
+                write_wav(flac_dir / f"{key}.wav", x, SR)
             label = "bonafide" if is_bona else "spoof"
             attack = "-" if is_bona else f"A{7 + i % 13:02d}"
             lines.append(f"LA_{i:04d} {key} - {attack} {label}")
@@ -82,8 +113,21 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--n", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--format", choices=["wav", "flac"], default="wav")
+    ap.add_argument(
+        "--la-size", action="store_true",
+        help="real LA split sizes (25,380 / 24,844 / 71,237 utterances)",
+    )
+    ap.add_argument("--train-only", action="store_true",
+                    help="with --la-size: full-size train split, --n dev/eval")
     args = ap.parse_args()
-    root = generate(args.out, args.n, args.seed)
+    sizes = None
+    if args.la_size:
+        sizes = dict(LA_SIZES)
+        if args.train_only:
+            sizes["dev"] = args.n
+            sizes["eval"] = args.n
+    root = generate(args.out, args.n, args.seed, fmt=args.format, split_sizes=sizes)
     print(f"synthetic LA dataset at {root}")
 
 
