@@ -174,32 +174,57 @@ class Experiment:
         self.batch_stats = batch_stats
 
         frozen = ()
+        stacked_freeze: Dict[str, Any] = {}
         if cfg.training.freeze_sincnet:
             frozen = frozen + ("sinc_stream",)
         if "wavlm_stream" in model_params:
             from rade_tpu.nn.wavlm import wavlm_frozen_paths
 
             n_freeze = int(cfg.model_config.get("wavlm_freeze_layers", 18))
-            if (
+            stacked = (
                 cfg.model_config.get("wavlm_scan_layers") or self._use_pp
-            ) and n_freeze > 0 and not cfg.training.use_lora:
-                raise ValueError(
-                    "wavlm_scan_layers/pipeline_axis stack encoder layers, so "
-                    "per-layer freezing (wavlm_freeze_layers > 0) is not "
-                    "expressible as a parameter mask; use the unrolled encoder "
-                    "for Phase-4 style layer freezing, or LoRA/full fine-tune "
-                    "(wavlm_freeze_layers = -1) with the stacked layouts"
+            ) and n_freeze > 0 and not cfg.training.use_lora
+            if stacked:
+                # Stacked layouts (scan / pipeline) hold layers as one leaf
+                # with a leading layer axis; bottom-N freezing becomes a
+                # per-layer 0/1 lane on that axis (`make_trainable_mask`'s
+                # stacked_layer_freeze) — the Phase-4 recipe trains under
+                # scan/pp layouts with the same semantics as unrolled.
+                n_layers = int(self.model.wavlm_cfg.num_hidden_layers)
+                frozen = frozen + wavlm_frozen_paths(
+                    -1, use_lora=False
+                )  # extractor + projection always frozen
+                if self._use_pp:
+                    # pp layout: all N layers stacked under layers_pipe;
+                    # layer 0's rel_attn_embed is hoisted to the model top
+                    vec = (np.arange(n_layers) >= n_freeze).astype(np.float32)
+                    stacked_freeze["layers_pipe"] = vec
+                    if n_freeze >= 1:
+                        frozen = frozen + ("rel_attn_embed",)
+                else:
+                    # scan layout: layer 0 unrolled + layers 1..N-1 stacked
+                    vec = (
+                        np.arange(1, n_layers) >= n_freeze
+                    ).astype(np.float32)
+                    stacked_freeze["layers_scan"] = vec
+                    if n_freeze >= 1:
+                        frozen = frozen + ("layers_0/",)
+            else:
+                frozen = frozen + wavlm_frozen_paths(
+                    n_freeze, use_lora=cfg.training.use_lora,
                 )
-            frozen = frozen + wavlm_frozen_paths(
-                n_freeze, use_lora=cfg.training.use_lora,
-            )
         always = ["lora_", "layer_weights"]
         if cfg.training.use_fgm and cfg.training.fgm_emb_name:
             # FGM targets are explicitly unfrozen (reference main.py:516-544)
             always.append(cfg.training.fgm_emb_name)
-        self._freeze_spec = (frozen, tuple(always))
+        self._freeze_spec = (frozen, tuple(always), stacked_freeze)
         self.trainable_mask = (
-            make_trainable_mask(self.params, frozen, tuple(always)) if frozen else None
+            make_trainable_mask(
+                self.params, frozen, tuple(always),
+                stacked_layer_freeze=stacked_freeze or None,
+            )
+            if (frozen or stacked_freeze)
+            else None
         )
 
         self.eval_step = jax.jit(make_eval_step(self.eval_model, cfg))
@@ -252,9 +277,10 @@ class Experiment:
             )
             if self.trainable_mask is not None:
                 # the mask tree must match the converted param structure
-                frozen, always = self._freeze_spec
+                frozen, always, stacked_freeze = self._freeze_spec
                 self.trainable_mask = make_trainable_mask(
-                    self.params, frozen, always
+                    self.params, frozen, always,
+                    stacked_layer_freeze=stacked_freeze or None,
                 )
             print(
                 f"pipeline parallelism: {n_layers} WavLM layers over "

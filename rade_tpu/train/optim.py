@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from rade_tpu.config import OptimConfig, TrainingConfig
@@ -114,7 +115,12 @@ def make_optimizer(
         wavlm_label_fn,
     )
     if trainable_mask is not None:
-        bool_mask = jax.tree.map(lambda m: bool(m > 0), trainable_mask)
+        # per-layer VECTOR leaves (stacked layouts with bottom-N freezing)
+        # keep their adam state: any trainable lane needs moments, and the
+        # frozen lanes' grads are exactly zero so their moments stay zero
+        bool_mask = jax.tree.map(
+            lambda m: bool(np.any(np.asarray(m) > 0)), trainable_mask
+        )
         tx = optax.masked(tx, bool_mask)
     return optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
 
@@ -187,6 +193,7 @@ def make_trainable_mask(
     params: Dict[str, Any],
     frozen_path_substrings: tuple = (),
     always_trainable_substrings: tuple = ("lora_", "layer_weights"),
+    stacked_layer_freeze: "Dict[str, Any] | None" = None,
 ) -> Dict[str, Any]:
     """1/0 mask pytree: 0 for params whose path matches a frozen substring.
 
@@ -195,12 +202,25 @@ def make_trainable_mask(
     optimizer, so frozen params never move.  Paths matching an
     `always_trainable` substring (LoRA adapters, the 25-layer weighting) stay
     trainable even inside frozen subtrees.
+
+    ``stacked_layer_freeze`` maps a path substring of a STACKED layer
+    subtree (``layers_scan`` for the scan layout, ``layers_pipe`` for the
+    pipeline layout — leading axis = layer index) to a per-layer 0/1
+    vector.  Matching leaves get the vector broadcast over their trailing
+    dims, so `apply_mask` zeroes exactly the frozen layers' lanes — this is
+    how ``wavlm_freeze_layers > 0`` (the reference's bottom-N freeze,
+    `/root/reference/src/models/DualStreamSEMamba.py:338-370`) is expressed
+    under the stacked layouts.
     """
 
-    def is_trainable(path, _) -> float:
+    def is_trainable(path, leaf):
         keys = "/".join(str(getattr(k, "key", getattr(k, "name", ""))) for k in path)
         if any(s in keys for s in always_trainable_substrings):
             return 1.0
+        for sub, vec in (stacked_layer_freeze or {}).items():
+            if sub in keys:
+                v = np.asarray(vec, np.float32)
+                return v.reshape(v.shape + (1,) * (np.ndim(leaf) - 1))
         return 0.0 if any(s in keys for s in frozen_path_substrings) else 1.0
 
     return jax.tree_util.tree_map_with_path(is_trainable, params)

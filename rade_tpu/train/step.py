@@ -27,6 +27,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from rade_tpu.config import ExperimentConfig
@@ -246,8 +247,12 @@ def make_train_step(
             )(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf)
             return (out, aux), g_p, g_sf
     else:
+        # per-layer VECTOR mask leaves (stacked scan/pp layouts with
+        # wavlm_freeze_layers > 0) are differentiated whenever any layer
+        # lane is trainable; apply_mask zeroes the frozen lanes afterwards
         mask_leaves = [
-            float(m) > 0 for m in jax.tree_util.tree_leaves(trainable_mask)
+            bool(np.any(np.asarray(m) > 0))
+            for m in jax.tree_util.tree_leaves(trainable_mask)
         ]
 
         def _masked_grads(params, args, sf):
@@ -479,7 +484,12 @@ def make_train_step(
             def ema_upd(e, p, m=1.0):
                 # frozen leaves: ema starts as a copy of params
                 # (TrainState.create) and the param never moves, so
-                # d*e+(1-d)*p == e exactly — skip the HBM traffic
+                # d*e+(1-d)*p == e exactly — skip the HBM traffic.
+                # Per-layer vector masks (stacked layouts): frozen lanes
+                # keep e, trainable lanes average.
+                if np.ndim(m) > 0:
+                    keep = jnp.asarray(np.asarray(m) > 0)
+                    return jnp.where(keep, d * e + (1.0 - d) * p, e)
                 return d * e + (1.0 - d) * p if float(m) > 0 else e
 
             # reference EMA wraps the model only; loss params (OC-Softmax
