@@ -1,11 +1,11 @@
 """Benchmark: flagship-model scoring + training throughput (utt/sec/chip).
 
-Prints an inference-only JSON line first, then (unless RADE_BENCH_SKIP_TRAIN
-is set) measures the full Phase-6 train step and prints a combined JSON line
-— the driver parses the LAST parseable line, so a run cut short during the
-training compile still records the inference number:
+Prints EXACTLY ONE JSON line:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N,
    "train_utt_per_sec_per_chip": N, "train_vs_baseline": N}
+The train fields are measured unless RADE_BENCH_SKIP_TRAIN is set; if the
+training bench fails (OOM / compile), the line still carries the inference
+number so the record is never lost.
 
 Baselines (BASELINE.md): inference ~40 ms/sample at batch 32 on a V100
 (`/root/reference/README.md:99-105`) = 25 utt/s; training 14-28 utt/s on an
@@ -88,17 +88,15 @@ def main() -> None:
         "unit": f"utt/s/chip (bs={batch}, 64600 samples)",
         "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
     }
-    print(json.dumps(record), flush=True)
-
-    if os.environ.get("RADE_BENCH_SKIP_TRAIN"):
-        return
-    try:
-        train_ups = bench_train()
-    except Exception as e:  # OOM / compile failure must not lose the record
-        print(f"train bench failed: {type(e).__name__}", flush=True)
-        return
-    record["train_utt_per_sec_per_chip"] = round(train_ups, 2)
-    record["train_vs_baseline"] = round(train_ups / REFERENCE_TRAIN_UTT_PER_SEC, 3)
+    if not os.environ.get("RADE_BENCH_SKIP_TRAIN"):
+        try:
+            train_ups = bench_train()
+            record["train_utt_per_sec_per_chip"] = round(train_ups, 2)
+            record["train_vs_baseline"] = round(
+                train_ups / REFERENCE_TRAIN_UTT_PER_SEC, 3
+            )
+        except Exception as e:  # OOM / compile failure must not lose the record
+            record["train_bench_error"] = type(e).__name__
     print(json.dumps(record), flush=True)
 
 

@@ -108,6 +108,53 @@ def generate(
     return root
 
 
+def generate_2021_df(
+    out_dir: str, n: int = 64, seed: int = 0, fmt: str = "wav"
+) -> "tuple[Path, Path]":
+    """Synthetic ASVspoof2021-DF eval layout for the cross-domain auto-eval.
+
+    Writes ``<out>/flac/`` + ``ASVspoof2021.DF.cm.eval.trl.txt`` + a keys
+    ``trial_metadata.txt`` (``SPK FILE CODEC SOURCE ATTACK KEY - eval``,
+    key in column 6 — `/root/reference/src/report_2021df_codec_breakdown.py:63-71`)
+    spanning several codecs/sources so the codec breakdown report has real
+    strata.  Returns ``(db_root, key_file)``.
+    """
+    root = Path(out_dir)
+    rng = np.random.RandomState(seed)
+    flac_dir = root / "flac"
+    flac_dir.mkdir(parents=True, exist_ok=True)
+    if fmt == "flac":
+        from rade_tpu.native.loader import encode_flac16
+    codecs = ["nocodec", "low_mp3", "high_m4a", "ogg"]
+    sources = ["asvspoof", "vcc2018", "vcc2020"]
+    trial_lines, meta_lines = [], []
+    for i in range(n):
+        utt = f"DF_E_{i:07d}"
+        is_bona = i % 2 == 0
+        dur = float(np.clip(np.exp(rng.normal(np.log(3.2), 0.35)), 1.2, 10.0))
+        ns = int(dur * SR)
+        x = _bonafide(rng, ns) if is_bona else _spoof(rng, ns)
+        if fmt == "flac":
+            (flac_dir / f"{utt}.flac").write_bytes(encode_flac16(x, SR))
+        else:
+            write_wav(flac_dir / f"{utt}.wav", x, SR)
+        key = "bonafide" if is_bona else "spoof"
+        # decorrelate strata from the i%2 label so every codec/source cell
+        # holds both classes (the breakdown EERs are defined)
+        codec = codecs[int(rng.randint(len(codecs)))]
+        source = sources[int(rng.randint(len(sources)))]
+        attack = "-" if is_bona else f"A{7 + i % 13:02d}"
+        line = f"LA_{i:04d} {utt} {codec} {source} {attack} {key} - eval"
+        trial_lines.append(line)
+        meta_lines.append(line)
+    (root / "ASVspoof2021.DF.cm.eval.trl.txt").write_text(
+        "\n".join(trial_lines) + "\n"
+    )
+    key_file = root / "trial_metadata.txt"
+    key_file.write_text("\n".join(meta_lines) + "\n")
+    return root, key_file
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -120,6 +167,11 @@ def main():
     )
     ap.add_argument("--train-only", action="store_true",
                     help="with --la-size: full-size train split, --n dev/eval")
+    ap.add_argument(
+        "--df2021", action="store_true",
+        help="also write a synthetic ASVspoof2021-DF eval layout "
+             "(<out>_df21/) for the cross-domain auto-eval",
+    )
     args = ap.parse_args()
     sizes = None
     if args.la_size:
@@ -129,6 +181,12 @@ def main():
             sizes["eval"] = args.n
     root = generate(args.out, args.n, args.seed, fmt=args.format, split_sizes=sizes)
     print(f"synthetic LA dataset at {root}")
+    if args.df2021:
+        db, keys = generate_2021_df(
+            args.out.rstrip("/") + "_df21", n=max(args.n, 32),
+            seed=args.seed + 7, fmt=args.format,
+        )
+        print(f"synthetic 2021-DF layout at {db} (keys: {keys})")
 
 
 if __name__ == "__main__":

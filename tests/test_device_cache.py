@@ -130,3 +130,35 @@ def test_cache_size_guard_falls_back(cached_exp):
         assert exp._build_device_cache(trn) is None
     finally:
         exp.cfg.data.device_cache_max_gb = old
+
+
+def test_cache_stores_pcm_sources_as_int16(cached_exp):
+    """PCM16-derived audio (WAV/FLAC decode as int16/32768) round-trips
+    exactly, so the cache holds raw int16 — half the HBM, losslessly (the
+    full LA train set then fits the default 4 GB budget)."""
+    exp, _, _ = cached_exp
+    x_all, _ = exp._device_cache
+    assert x_all.dtype == np.int16
+    # the step consumed it fine (losses were finite in the shared fixture)
+
+
+def test_cache_keeps_float_native_sources_f32(cached_exp):
+    """Sources that don't round-trip through int16 must stay float32."""
+    exp, trn, _ = cached_exp
+
+    class FloatDS:
+        cut = exp.nb_samp
+
+        def __len__(self):
+            return 4
+
+        def load_clean(self, i):
+            rng = np.random.RandomState(i)
+            return rng.randn(exp.nb_samp).astype(np.float32) * 0.1, i % 2
+
+    class B:
+        dataset = FloatDS()
+
+    x_all, y_all = exp._build_device_cache(B())
+    assert x_all.dtype == np.float32
+    assert np.asarray(y_all).tolist() == [0, 1, 0, 1]
