@@ -88,6 +88,17 @@ class TrainingConfig:
     # its parameter gradient is recovered exactly from ONE backward with the
     # two passes' cotangents summed (VJP linearity).  Requires freeze_bn.
     fgm_share_frontend: bool = True
+    # TPU-native extension: compute the WavLM CNN feature extractor once per
+    # micro-batch and feed BOTH FGM passes.  The extractor sits UPSTREAM of
+    # the perturbed `feature_projection` and is deterministic (convs + norms
+    # + GELU, no dropout), so its output is bit-identical in the two passes
+    # whenever its params are frozen — the step engages sharing only after
+    # checking the trainable mask zeroes the whole extractor subtree
+    # (which every supported recipe does; the reference always freezes the
+    # extractor, `DualStreamSEMamba.py:338-370`).  Recipe-exact under
+    # freq_aug too (the sinc filter-band mask never touches the WavLM
+    # stream).
+    fgm_share_extractor: bool = True
     use_mixup: bool = False
     mixup_alpha: float = 1.0
     eval_diag_interval: int = 0
@@ -116,8 +127,8 @@ class TrainingConfig:
         for key in (
             "use_ocsoftmax", "use_supcon", "use_lora", "use_focal_loss",
             "freeze_bn", "freeze_sincnet", "use_ema", "use_swa", "use_fgm",
-            "use_mixup", "mixed_precision", "fgm_share_frontend", "fast_rng",
-            "save_best_ckpt",
+            "use_mixup", "mixed_precision", "fgm_share_frontend",
+            "fgm_share_extractor", "fast_rng", "save_best_ckpt",
         ):
             if key in kwargs:
                 kwargs[key] = str_to_bool(kwargs[key])

@@ -316,6 +316,7 @@ class DualStreamSEMamba(nn.Module):
         self, x: jax.Array, train: bool = False, freq_aug: bool = False,
         freeze_bn: bool = False, sinc_features: jax.Array = None,
         wavlm_features: jax.Array = None,
+        wavlm_extractor_features: jax.Array = None,
     ) -> Tuple[jax.Array, jax.Array]:
         if wavlm_features is not None:
             # precomputed WavLM stream: the pipeline-parallel path computes
@@ -323,9 +324,12 @@ class DualStreamSEMamba(nn.Module):
             # its params live in the stacked pp layout
             f_wavlm = wavlm_features
         else:
+            # wavlm_extractor_features: the frozen CNN extractor's output,
+            # computed once per micro-batch and shared across the two FGM
+            # passes (train/step.py `share_extractor`)
             f_wavlm = WavLMFrontend(
                 self.wavlm_cfg, weighting=self.wavlm_weighting, name="wavlm_stream"
-            )(x, train)
+            )(x, train, extractor_features=wavlm_extractor_features)
         if sinc_features is not None:
             # precomputed sinc stream (the Pallas fast path computes it
             # outside the module via `sinc_encoder_fast` at scoring time)

@@ -360,9 +360,21 @@ class WavLMModel(nn.Module):
     cfg: WavLMConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
+    def __call__(
+        self, x: jax.Array, train: bool = False, extractor_features=None
+    ):
         cfg = self.cfg
-        feats = WavLMFeatureEncoder(cfg, name="feature_extractor")(x)
+        if extractor_features is not None:
+            # precomputed CNN-extractor output: the extractor is
+            # deterministic (convs + norms + GELU, no dropout) and frozen in
+            # every supported recipe, so the FGM train step computes it ONCE
+            # and feeds both passes (train/step.py `share_extractor`).  Only
+            # valid on apply() with an existing param tree — init never
+            # takes this path, so the `feature_extractor` params are always
+            # created.
+            feats = extractor_features
+        else:
+            feats = WavLMFeatureEncoder(cfg, name="feature_extractor")(x)
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, name="feature_projection_layer_norm"
         )(feats)
@@ -433,8 +445,12 @@ class WavLMFrontend(nn.Module):
     weighting: str = "softmax"  # 'softmax' (global learnable) | 'sls' (per-sample)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        _, hidden = WavLMModel(self.cfg, name="model")(x, train)
+    def __call__(
+        self, x: jax.Array, train: bool = False, extractor_features=None
+    ) -> jax.Array:
+        _, hidden = WavLMModel(self.cfg, name="model")(
+            x, train, extractor_features=extractor_features
+        )
         stack = jnp.stack(hidden, axis=0)  # (N+1, B, T, E)
         if self.weighting == "cbam":
             # CBAM pattern (reference `fake_mamba_model.py:1166-1295`):

@@ -122,7 +122,8 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Tuple[Callable, Callable]:
             x_in, y_a, y_b = x, y, y
         return x_in, y_a, y_b, lam
 
-    def loss_fn(params, batch_stats, x_in, y_a, y_b, lam, rngs, sinc_features=None):
+    def loss_fn(params, batch_stats, x_in, y_a, y_b, lam, rngs, sinc_features=None,
+                extractor_features=None):
         n_cls = 2
         model_params = params["model"]
         bs_in = batch_stats
@@ -138,6 +139,8 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Tuple[Callable, Callable]:
         variables = {"params": model_params, "batch_stats": bs_in}
         mutable = False if tc.freeze_bn else ["batch_stats"]
         extra = {} if sinc_features is None else {"sinc_features": sinc_features}
+        if extractor_features is not None:
+            extra["wavlm_extractor_features"] = extractor_features
         wf = _maybe_pp_features(
             model_params, x_in, train=True,
             rng=jax.random.fold_in(rngs["dropout"], 17),
@@ -238,13 +241,72 @@ def make_train_step(
             remat=bool(cfg.model_config.get("sinc_remat", False)),
         )
 
-    if trainable_mask is None:
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    # FGM extractor sharing: the WavLM CNN feature extractor sits UPSTREAM
+    # of the perturbed `feature_projection` and has no dropout/RNG, so when
+    # its params are frozen its output is bit-identical in both FGM passes —
+    # compute it once per micro-batch and feed both.  Unlike
+    # fgm_share_frontend this stays recipe-exact under freq_aug (the
+    # filter-band mask only touches the sinc stream).  Engaged only on the
+    # trainable-mask path with the WHOLE extractor subtree masked to zero
+    # (true in every supported recipe — the reference always freezes the
+    # extractor, `src/models/DualStreamSEMamba.py:338-370`), and never under
+    # the pipeline-parallel layout (the pp path computes the full WavLM
+    # stream functionally via wavlm_features_pp).
+    def _ext_mask_subtree(tree):
+        try:
+            return tree["model"]["wavlm_stream"]["model"]["feature_extractor"]
+        except (KeyError, TypeError):
+            return None
 
-        def grad_fn_sf(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf):
+    _ext_mask = (
+        _ext_mask_subtree(trainable_mask) if trainable_mask is not None else None
+    )
+    # _fgm_mask matches emb_name as a substring of the joined param path, so
+    # sharing is invalid if emb_name could select an extractor leaf (the
+    # perturbation would then change the "shared" activations)
+    _ext_path_probe = "/".join(
+        ["model", "wavlm_stream", "model", "feature_extractor"]
+        + [f"conv_layers_{i}_conv" for i in range(8)]
+        + [f"conv_layers_{i}_layer_norm" for i in range(8)]
+        + ["kernel", "bias", "scale"]
+    )
+    share_extractor = (
+        tc.use_fgm
+        and tc.fgm_share_extractor
+        and "DualStreamSEMamba" in cfg.architecture
+        and int(getattr(cfg.parallel, "pipeline_axis", 1)) <= 1
+        and tc.fgm_emb_name not in _ext_path_probe
+        and _ext_mask is not None
+        and all(
+            float(np.max(np.asarray(m))) == 0.0
+            for m in jax.tree_util.tree_leaves(_ext_mask)
+        )
+    )
+    if share_extractor:
+        from rade_tpu.nn.wavlm import WavLMFeatureEncoder
+
+        _ext_mod = WavLMFeatureEncoder(model.wavlm_cfg)
+
+        def _ext_fwd(params, x_c):
+            p_ext = params["model"]["wavlm_stream"]["model"]["feature_extractor"]
+            if tc.mixed_precision:
+                p_ext = cast_tree(p_ext, jnp.bfloat16)
+                x_c = x_c.astype(jnp.bfloat16)
+            # frozen subtree: no cotangent needed, plain forward
+            return jax.lax.stop_gradient(_ext_mod.apply({"params": p_ext}, x_c))
+
+    if trainable_mask is None:
+        _vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def grad_fn(params, *args, ext=None):
+            return _vg(params, *args, extractor_features=ext)
+
+        def grad_fn_sf(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf,
+                       ext=None):
             (out, aux), (g_p, g_sf) = jax.value_and_grad(
                 loss_fn, argnums=(0, 7), has_aux=True
-            )(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf)
+            )(params, batch_stats, x_in, y_a, y_b, lam, rngs, sf,
+              extractor_features=ext)
             return (out, aux), g_p, g_sf
     else:
         # per-layer VECTOR mask leaves (stacked scan/pp layouts with
@@ -255,7 +317,7 @@ def make_train_step(
             for m in jax.tree_util.tree_leaves(trainable_mask)
         ]
 
-        def _masked_grads(params, args, sf):
+        def _masked_grads(params, args, sf, ext=None):
             """grads wrt trainable leaves (+ sf cotangent when sf is given)."""
             flat, treedef = jax.tree_util.tree_flatten(params)
             assert len(flat) == len(mask_leaves)
@@ -267,7 +329,7 @@ def make_train_step(
                     leaves[i] = v
                 return loss_fn(
                     jax.tree_util.tree_unflatten(treedef, leaves), *args,
-                    sinc_features=sf_in,
+                    sinc_features=sf_in, extractor_features=ext,
                 )
 
             argnums = 0 if sf is None else (0, 1)
@@ -280,13 +342,13 @@ def make_train_step(
                 g_flat[i] = gi
             return out, jax.tree_util.tree_unflatten(treedef, g_flat), g_sf
 
-        def grad_fn(params, *args):
-            out, grads, _ = _masked_grads(params, args, None)
+        def grad_fn(params, *args, ext=None):
+            out, grads, _ = _masked_grads(params, args, None, ext)
             return out, grads
 
-        def grad_fn_sf(params, *args_sf):
+        def grad_fn_sf(params, *args_sf, ext=None):
             *args, sf = args_sf
-            return _masked_grads(params, tuple(args), sf)
+            return _masked_grads(params, tuple(args), sf, ext)
 
     def _perturb_adv(params, grads):
         fmask = _fgm_mask(params, tc.fgm_emb_name)
@@ -309,6 +371,8 @@ def make_train_step(
         # aug + mixup once, outside the differentiated region: FGM attacks
         # the same (augmented, mixed) batch (`main.py:1087`)
         x_in, y_a, y_b, lam = prep_inputs(x, y, k_aug, k_mix)
+        # frozen WavLM CNN extractor: one forward feeds both FGM passes
+        ext = _ext_fwd(params, x_in) if share_extractor else None
 
         if fast_sinc:
             def sinc_fwd_fast(sp, key, x_c):
@@ -335,7 +399,7 @@ def make_train_step(
             )
             rngs = {"dropout": k_drop}
             (loss, (batch_stats, _)), grads, g_sf = grad_fn_sf(
-                params, batch_stats, x_in, y_a, y_b, lam, rngs, sf
+                params, batch_stats, x_in, y_a, y_b, lam, rngs, sf, ext=ext
             )
             if tc.use_fgm:
                 params_adv = _perturb_adv(params, grads)
@@ -356,7 +420,8 @@ def make_train_step(
                     sf2, sinc_vjp2 = sf, None
                 rngs_adv = {"dropout": k_drop2}
                 (adv_loss, (batch_stats, _)), adv_grads, g_sf2 = grad_fn_sf(
-                    params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, sf2
+                    params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, sf2,
+                    ext=ext,
                 )
                 grads = jax.tree.map(jnp.add, grads, adv_grads)
                 loss = loss + adv_loss
@@ -393,12 +458,13 @@ def make_train_step(
             sf, sinc_vjp = jax.vjp(sinc_fwd, params["model"]["sinc_stream"])
             rngs = {"dropout": k_drop}
             (loss, (batch_stats, _)), grads, g_sf = grad_fn_sf(
-                params, batch_stats, x_in, y_a, y_b, lam, rngs, sf
+                params, batch_stats, x_in, y_a, y_b, lam, rngs, sf, ext=ext
             )
             params_adv = _perturb_adv(params, grads)
             rngs_adv = {"dropout": k_drop2}
             (adv_loss, (batch_stats, _)), adv_grads, g_sf2 = grad_fn_sf(
-                params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, sf
+                params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, sf,
+                ext=ext,
             )
             grads = jax.tree.map(jnp.add, grads, adv_grads)
             (d_sinc,) = sinc_vjp(g_sf + g_sf2)
@@ -412,13 +478,13 @@ def make_train_step(
 
         rngs = {"dropout": k_drop, "freq_aug": k_freq}
         (loss, (batch_stats, _)), grads = grad_fn(
-            params, batch_stats, x_in, y_a, y_b, lam, rngs
+            params, batch_stats, x_in, y_a, y_b, lam, rngs, ext=ext
         )
         if tc.use_fgm:
             params_adv = _perturb_adv(params, grads)
             rngs_adv = {"dropout": k_drop2, "freq_aug": k_freq2}
             (adv_loss, (batch_stats, _)), adv_grads = grad_fn(
-                params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv
+                params_adv, batch_stats, x_in, y_a, y_b, lam, rngs_adv, ext=ext
             )
             grads = jax.tree.map(jnp.add, grads, adv_grads)
             loss = loss + adv_loss

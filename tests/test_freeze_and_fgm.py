@@ -165,3 +165,46 @@ def test_fgm_shared_frontend_disabled_under_freq_aug():
     for a, b in zip(jax.tree_util.tree_leaves(after_s),
                     jax.tree_util.tree_leaves(after_u)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fgm_shared_extractor_matches_unshared():
+    """fgm_share_extractor computes the frozen WavLM CNN extractor once and
+    feeds BOTH FGM passes.  The extractor is deterministic (no dropout) and
+    upstream of the perturbed feature_projection, so the step must be
+    numerically identical with the flag on or off — including under freq_aug
+    (the filter-band mask only touches the sinc stream)."""
+    t = {"use_fgm": True, "fgm_epsilon": 0.5, "freeze_bn": True,
+         "use_mixup": True, "mixup_alpha": 1.0,
+         # isolate extractor sharing from the sinc-frontend sharing path
+         "fgm_share_frontend": False}
+    _, after_s, loss_s = _one_step(
+        _conf(training={**t, "fgm_share_extractor": True}), seed=5)
+    _, after_u, loss_u = _one_step(
+        _conf(training={**t, "fgm_share_extractor": False}), seed=5)
+    assert abs(loss_s - loss_u) < 1e-5 * max(1.0, abs(loss_u))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(after_s),
+        jax.tree_util.tree_leaves_with_path(after_u),
+    ):
+        assert pa == pb
+        # same ops on the same values; XLA may fuse the standalone extractor
+        # apply differently -> allow reassociation-level noise only
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg=str(pa))
+
+
+def test_fgm_shared_extractor_requires_frozen_extractor():
+    """Sharing must disengage when the extractor subtree is trainable (the
+    perturbed pass would otherwise silently reuse stale activations).  An
+    fgm_emb_name that selects extractor leaves makes them trainable
+    (reference main.py:516-544 semantics) AND perturbed, so the gate must
+    refuse; the step then matches the unshared path bit-for-bit."""
+    t = {"use_fgm": True, "fgm_epsilon": 0.5, "freeze_bn": True,
+         "fgm_emb_name": "feature_extractor", "fgm_share_frontend": False}
+    _, after_s, loss_s = _one_step(
+        _conf(training={**t, "fgm_share_extractor": True}), seed=6)
+    _, after_u, loss_u = _one_step(
+        _conf(training={**t, "fgm_share_extractor": False}), seed=6)
+    assert loss_s == loss_u
+    for a, b in zip(jax.tree_util.tree_leaves(after_s),
+                    jax.tree_util.tree_leaves(after_u)):
+        np.testing.assert_array_equal(a, b)
