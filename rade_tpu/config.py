@@ -224,12 +224,26 @@ class ParallelConfig:
 class TestConfig:
     batch_size: int = 64
     num_workers: int = 0
+    # TPU-build extension: the COMPRESSED evaluation protocol
+    # (`/root/reference/README.md:92` second column).  ``codec_sim`` makes
+    # `--eval` score the codec-compressed rendition of the eval set
+    # (deterministic per-utterance draw, see data/datasets.py::EvalDataset);
+    # ``eval_compressed`` makes the trainer's eval_all_best / final-SWA eval
+    # additionally score the compressed protocol so runs report BOTH EERs.
+    codec_sim: bool = False
+    eval_compressed: bool = False
+    codec_seed: int = 0
+    codec_inner_p: float = 1.0
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TestConfig":
         d = _drop_comments(d)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kwargs = {k: v for k, v in d.items() if k in known}
+        for key in ("codec_sim", "eval_compressed"):
+            if key in kwargs:
+                kwargs[key] = str_to_bool(kwargs[key])
+        return cls(**kwargs)
 
 
 @dataclasses.dataclass

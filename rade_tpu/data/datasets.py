@@ -164,7 +164,18 @@ class TrainDataset:
 
 
 class EvalDataset:
-    """Dev/eval set: deterministic padding, returns (waveform, utt_key)."""
+    """Dev/eval set: deterministic padding, returns (waveform, utt_key).
+
+    ``codec_sim=True`` scores the COMPRESSED protocol (the reference's
+    second headline column, `/root/reference/README.md:92`): each utterance
+    is band-limited by the codec simulation (16k -> {8k,6k,4k} -> 16k,
+    `src/data_utils.py:31-59`) with a rate drawn DETERMINISTICALLY from
+    (utt_id, codec_seed) so repeated evals and different models see the
+    identical compressed rendition.  ``codec_inner_p`` defaults to 1.0 —
+    every trial compressed — which is the conservative reading of the
+    reference's "codec-simulated protocol"; set 0.5 to mirror the training
+    augmentation's inner probability instead.
+    """
 
     def __init__(
         self,
@@ -172,11 +183,17 @@ class EvalDataset:
         base_dir: PathLike,
         cut: int = MAX_LEN,
         zero_pad_on_error: bool = False,
+        codec_sim: bool = False,
+        codec_seed: int = 0,
+        codec_inner_p: float = 1.0,
     ):
         self.keys = list(keys)
         self.base_dir = Path(base_dir)
         self.cut = cut
         self.zero_pad_on_error = zero_pad_on_error
+        self.codec_sim = bool(codec_sim)
+        self.codec_seed = int(codec_seed)
+        self.codec_inner_p = float(codec_inner_p)
 
     def __len__(self) -> int:
         return len(self.keys)
@@ -190,6 +207,14 @@ class EvalDataset:
                 raise
             # 2021-eval behavior: unreadable audio -> zeros (data_utils.py:221-228)
             x = np.zeros(self.cut, dtype=np.float64)
+        if self.codec_sim:
+            from rade_tpu.augment.codec import codec_rng_for_utt
+
+            x = apply_codec_sim(
+                x,
+                inner_p=self.codec_inner_p,
+                rng=codec_rng_for_utt(key, self.codec_seed),
+            )
         return pad(x, self.cut).astype(np.float32), key
 
     # ------------------------------------------------------- native batch path
@@ -204,7 +229,13 @@ class EvalDataset:
         for unreadable files — the 2021-eval fallback,
         `/root/reference/src/data_utils.py:221-228`); otherwise a decode
         failure raises like the Python path does.
+
+        The compressed protocol (``codec_sim``) resamples the FULL waveform
+        before the deterministic pad, so it takes the per-sample Python
+        path (the native loader pads during decode).
         """
+        if self.codec_sim:
+            return None
         if self._native_paths is False:
             self._native_paths = _resolve_native_paths(
                 self.base_dir / "flac", self.keys

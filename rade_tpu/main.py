@@ -82,16 +82,34 @@ def run_eval(cfg: ExperimentConfig, args) -> None:
     track = cfg.track
     proto = db / f"ASVspoof2019_{track}_cm_protocols" / f"ASVspoof2019.{track}.cm.eval.trl.txt"
     files = parse_protocol_eval(proto)
-    ds = EvalDataset(files, db / f"ASVspoof2019_{track}_eval", cut=exp.nb_samp)
-    out = Path(args.output_dir) / cfg.eval_output
-    produce_evaluation_file(
-        exp.eval_step, exp.params, exp.batch_stats,
-        EvalBatcher(ds, cfg.test.batch_size), proto, out,
-    )
-    eer, tdcf = calculate_tdcf_eer(
-        str(out), cfg.asv_score_path, str(Path(args.output_dir) / "t-DCF_EER.txt")
-    )
-    print(f"eval EER: {eer:.4f}%  min t-DCF: {tdcf:.5f}")
+    eval_dir = db / f"ASVspoof2019_{track}_eval"
+
+    def _score(compressed: bool):
+        """Score the clean or codec-COMPRESSED protocol (README.md:92)."""
+        tag = "compressed_" if compressed else ""
+        ds = EvalDataset(
+            files, eval_dir, cut=exp.nb_samp,
+            codec_sim=compressed, codec_seed=cfg.test.codec_seed,
+            codec_inner_p=cfg.test.codec_inner_p,
+        )
+        out = Path(args.output_dir) / (tag + cfg.eval_output)
+        produce_evaluation_file(
+            exp.eval_step, exp.params, exp.batch_stats,
+            EvalBatcher(ds, cfg.test.batch_size), proto, out,
+        )
+        eer, tdcf = calculate_tdcf_eer(
+            str(out), cfg.asv_score_path,
+            str(Path(args.output_dir) / f"t-DCF_EER{('_' + tag.rstrip('_')) if tag else ''}.txt"),
+        )
+        label = "compressed eval" if compressed else "eval"
+        print(f"{label} EER: {eer:.4f}%  min t-DCF: {tdcf:.5f}")
+
+    if not cfg.test.codec_sim:
+        _score(compressed=False)
+    # test_config.codec_sim scores ONLY the compressed protocol;
+    # test_config.eval_compressed scores it IN ADDITION to the clean one
+    if cfg.test.codec_sim or cfg.test.eval_compressed:
+        _score(compressed=True)
 
 
 def main(argv=None) -> None:

@@ -40,6 +40,115 @@ def _spoof(rng: np.random.RandomState, n: int) -> np.ndarray:
     return x
 
 
+# --------------------------------------------------------------- hard mode
+# The original spoof signature (hard 40% AM + 6-bit quantization) saturates:
+# the 30-epoch flagship anchor reaches 0.1% dev EER by epoch 28, so recipe
+# regressions no longer move the number.  Hard mode gives each attack id a
+# SUBTLE signature whose strength is drawn from a range overlapping "almost
+# clean", and adds recording-style nuisance artifacts to bonafide too — the
+# class boundary is real but noisy, targeting a 5-15% dev-EER plateau.
+
+def _soft_clip(x, s):
+    d = 1.0 + 6.0 * s
+    return np.tanh(x * d) / np.tanh(d)
+
+
+def _quant(x, s):  # coarse requantization: 12 bits (inaudible) .. ~6 bits
+    bits = 12.0 - 6.0 * s
+    q = 2.0 ** (bits - 1)
+    return np.round(x * q) / q
+
+
+def _am(x, s, rng):  # shallow amplitude modulation
+    t = np.arange(len(x)) / SR
+    rate = rng.uniform(25, 90)
+    return x * (1.0 - 0.25 * s + 0.25 * s * np.sin(2 * np.pi * rate * t))
+
+
+def _notch(x, s, rng):  # narrow spectral notch at a random center
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(len(x), 1 / SR)
+    c = rng.uniform(800, 6000)
+    w = 30 + 320 * s
+    X *= 1.0 - (0.35 + 0.65 * s) * np.exp(-0.5 * ((f - c) / w) ** 2)
+    return np.fft.irfft(X, len(x))
+
+
+def _hum(x, s, rng):  # mains hum + harmonic
+    t = np.arange(len(x)) / SR
+    a = 0.012 * s
+    return x + a * np.sin(2 * np.pi * 50 * t) + 0.5 * a * np.sin(2 * np.pi * 150 * t)
+
+
+def _smear(x, s, rng):  # pre-echo / reverb-ish exponential tail
+    k = int(16 + 240 * s)
+    h = np.exp(-np.arange(k) / (4 + 60 * s))
+    h /= h.sum()
+    y = np.convolve(x, h)[: len(x)]
+    return 0.7 * x + 0.3 * y
+
+
+def _phase_rand(x, s, rng):  # partial phase randomization above ~2 kHz
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(len(x), 1 / SR)
+    m = f > rng.uniform(1500, 3500)
+    X[m] *= np.exp(1j * s * rng.uniform(-np.pi, np.pi, m.sum()) * 0.6)
+    return np.fft.irfft(X, len(x))
+
+
+def _hiss(x, s, rng):  # band-passed noise floor
+    w = rng.randn(len(x))
+    W = np.fft.rfft(w)
+    f = np.fft.rfftfreq(len(x), 1 / SR)
+    W[(f < 2000) | (f > 7000)] = 0
+    w = np.fft.irfft(W, len(x))
+    w /= np.abs(w).max() + 1e-9
+    return x + 0.02 * s * w
+
+
+def _pitch_warp(x, s, rng):  # tiny constant resampling (pitch/timing drift)
+    r = 1.0 + s * rng.choice([-1, 1]) * 0.004
+    idx = np.clip(np.arange(len(x)) * r, 0, len(x) - 1)
+    return np.interp(idx, np.arange(len(x)), x)
+
+
+_HARD_ATTACKS = {  # A07..A19 -> per-attack signature
+    7: lambda x, s, r: _quant(x, s),
+    8: _am,
+    9: _notch,
+    10: _hum,
+    11: _smear,
+    12: _phase_rand,
+    13: _hiss,
+    14: _pitch_warp,
+    15: lambda x, s, r: _soft_clip(x, s),
+    16: lambda x, s, r: _am(_quant(x, 0.6 * s), 0.7 * s, r),
+    17: lambda x, s, r: _hiss(_notch(x, 0.7 * s, r), 0.7 * s, r),
+    18: lambda x, s, r: _smear(_phase_rand(x, 0.7 * s, r), 0.6 * s, r),
+    19: lambda x, s, r: _pitch_warp(_hum(x, 0.7 * s, r), 0.7 * s, r),
+}
+
+
+def _bonafide_hard(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """Bonafide with recording-style nuisance artifacts (class overlap)."""
+    x = _bonafide(rng, n)
+    if rng.rand() < 0.3:  # some genuine recordings are slightly clipped
+        x = _soft_clip(x, rng.uniform(0.0, 0.25))
+    if rng.rand() < 0.3:  # or carry a faint noise floor / hum
+        x = _hiss(x, rng.uniform(0.0, 0.4), rng)
+    if rng.rand() < 0.2:
+        x = _hum(x, rng.uniform(0.0, 0.3), rng)
+    return x
+
+
+def _spoof_hard(rng: np.random.RandomState, n: int, attack: int) -> np.ndarray:
+    """Per-attack subtle signature at an overlapping strength draw."""
+    x = _bonafide_hard(rng, n)
+    s = rng.uniform(0.08, 0.8)  # weak end is near-indistinguishable
+    y = _HARD_ATTACKS[attack](x, s, rng)
+    return 0.3 * y / (np.abs(y).max() + 1e-9)
+
+
 # Real LA split sizes (protocol line counts of the reference dataset),
 # for full-scale pipeline benchmarks: train 25,380 / dev 24,844 / eval 71,237.
 LA_SIZES = {"train": 25380, "dev": 24844, "eval": 71237}
@@ -52,6 +161,7 @@ def generate(
     fmt: str = "wav",
     split_sizes: "dict[str, int] | None" = None,
     duration_range: "tuple[float, float] | None" = None,
+    hard: bool = False,
 ) -> Path:
     """Generate the synthetic LA layout.
 
@@ -60,7 +170,9 @@ def generate(
     ``split_sizes`` overrides per-split counts (e.g. ``LA_SIZES`` for a
     real-size set); utterance durations are log-normal around ~3.2 s,
     clipped to [1.2, 10] s, approximating the LA duration distribution
-    (override with ``duration_range`` for a uniform draw).
+    (override with ``duration_range`` for a uniform draw).  ``hard=True``
+    uses the subtle per-attack signatures (`_spoof_hard`) + nuisance-laden
+    bonafide so the anchor task doesn't saturate at ~0% EER.
     """
     root = Path(out_dir)
     rng = np.random.RandomState(seed)
@@ -86,13 +198,21 @@ def generate(
             else:
                 dur = float(np.clip(np.exp(rng.normal(np.log(3.2), 0.35)), 1.2, 10.0))
             n = int(dur * SR)
-            x = _bonafide(rng, n) if is_bona else _spoof(rng, n)
+            attack_id = 7 + i % 13
+            if hard:
+                x = (
+                    _bonafide_hard(rng, n)
+                    if is_bona
+                    else _spoof_hard(rng, n, attack_id)
+                )
+            else:
+                x = _bonafide(rng, n) if is_bona else _spoof(rng, n)
             if fmt == "flac":
                 (flac_dir / f"{key}.flac").write_bytes(encode_flac16(x, SR))
             else:
                 write_wav(flac_dir / f"{key}.wav", x, SR)
             label = "bonafide" if is_bona else "spoof"
-            attack = "-" if is_bona else f"A{7 + i % 13:02d}"
+            attack = "-" if is_bona else f"A{attack_id:02d}"
             lines.append(f"LA_{i:04d} {key} - {attack} {label}")
         (proto_dir / protoname).write_text("\n".join(lines) + "\n")
 
@@ -162,6 +282,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--format", choices=["wav", "flac"], default="wav")
     ap.add_argument(
+        "--hard", action="store_true",
+        help="subtle per-attack signatures + nuisance bonafide (the "
+             "non-saturating anchor task; targets a 5-15%% dev-EER plateau)",
+    )
+    ap.add_argument(
         "--la-size", action="store_true",
         help="real LA split sizes (25,380 / 24,844 / 71,237 utterances)",
     )
@@ -179,7 +304,10 @@ def main():
         if args.train_only:
             sizes["dev"] = args.n
             sizes["eval"] = args.n
-    root = generate(args.out, args.n, args.seed, fmt=args.format, split_sizes=sizes)
+    root = generate(
+        args.out, args.n, args.seed, fmt=args.format, split_sizes=sizes,
+        hard=args.hard,
+    )
     print(f"synthetic LA dataset at {root}")
     if args.df2021:
         db, keys = generate_2021_df(

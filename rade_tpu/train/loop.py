@@ -98,9 +98,16 @@ class Experiment:
         n_data = int(getattr(cfg.parallel, "data_axis", 0)) or None
         return make_mesh(n_data)
 
-    def __init__(self, cfg: ExperimentConfig, seed: int = 1234, mesh=None):
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        seed: int = 1234,
+        mesh=None,
+        fast_init: bool = False,
+    ):
         self.cfg = cfg
         self.seed = seed
+        self.fast_init = bool(fast_init)
         self.mesh = mesh if mesh is not None else self._mesh_from_config(cfg)
         # register the mesh for sequence-parallel activation constraints
         # (no-op for modules without sequence_parallel; deactivates when the
@@ -161,7 +168,7 @@ class Experiment:
             "freq_aug": jax.random.fold_in(self.rng, 2),
         }
         dummy = jnp.zeros((2, self.nb_samp), jnp.float32)
-        variables = self.model.init(init_rngs, dummy, train=False)
+        variables = self._init_variables(model_config, init_rngs, dummy)
         model_params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
@@ -286,6 +293,48 @@ class Experiment:
                 f"pipeline parallelism: {n_layers} WavLM layers over "
                 f"pipe={_pp.pipe_axis_size(self.mesh)} stages"
             )
+
+    def _init_variables(self, model_config, init_rngs, dummy):
+        """Initialize the variable tree without the ~330 s relay compile.
+
+        Three paths (rade_tpu/utils/fast_init.py):
+        - ``fast_init=True``: eval_shape + host materialization (~10 s) —
+          structurally exact, values NOT a real init; for benchmarks and
+          compile/layout checks only.
+        - default on an accelerator backend: run the REAL initializer on the
+          host CPU backend (bit-identical values — threefry is
+          backend-deterministic; the Pallas-kernel twin model shares the
+          same param structure) and transfer once.
+        - CPU default backend (tests, dry runs) or any failure: plain
+          on-device init, the original behavior.
+        """
+        from rade_tpu.utils.fast_init import cpu_init, shape_init
+
+        if self.fast_init:
+            variables = shape_init(self.model, init_rngs, dummy, seed=self.seed)
+            return jax.device_put(variables)
+        try:
+            if jax.default_backend() != "cpu":
+                init_model = self.model
+                if model_config.get("use_pallas_scan") or model_config.get(
+                    "use_pallas_resblock"
+                ):
+                    # TPU-only kernels can't execute on the CPU backend; the
+                    # XLA twin has the identical parameter structure
+                    init_model = build_model(
+                        {
+                            **model_config,
+                            "use_pallas_scan": False,
+                            "use_pallas_resblock": False,
+                        }
+                    )
+                variables = cpu_init(init_model, init_rngs, dummy)
+                # commit to the accelerator: params feed jit'd eval/train
+                # steps, and CPU-committed args would pin those to CPU
+                return jax.device_put(variables, jax.local_devices()[0])
+        except Exception as e:
+            print(f"cpu_init fallback -> on-device init ({type(e).__name__}: {e})")
+        return self.model.init(init_rngs, dummy, train=False)
 
     def _load_ssl_pretrained(self, model_config) -> None:
         """Splice pretrained SSL weights into the fresh init.
@@ -579,6 +628,27 @@ class Experiment:
             eval_proto,
         )
 
+    def build_compressed_eval(self, database_path: Path):
+        """EvalBatcher over the codec-COMPRESSED 2019 eval protocol.
+
+        The second column of the reference's headline table
+        (`/root/reference/README.md:92`: 4.03 % "compressed") — the same
+        eval trials, each band-limited by a deterministic per-utterance
+        codec-sim draw (data/datasets.py::EvalDataset codec_sim).
+        """
+        cfg = self.cfg
+        db = Path(database_path)
+        track = cfg.track
+        proto_dir = db / f"ASVspoof2019_{track}_cm_protocols"
+        eval_proto = proto_dir / f"ASVspoof2019.{track}.cm.eval.trl.txt"
+        eval_files = parse_protocol_eval(eval_proto)
+        ds = EvalDataset(
+            eval_files, db / f"ASVspoof2019_{track}_eval", cut=self.nb_samp,
+            codec_sim=True, codec_seed=cfg.test.codec_seed,
+            codec_inner_p=cfg.test.codec_inner_p,
+        )
+        return EvalBatcher(ds, cfg.test.batch_size), eval_proto
+
     # ---------------------------------------------------------------- running
     # --------------------------------------------- device-resident data cache
     def _use_device_cache(self) -> bool:
@@ -816,6 +886,13 @@ def run_training(
     """Full training run; returns summary metrics."""
     exp = Experiment(cfg, seed=seed)
     trn, dev, evl, dev_proto, eval_proto = exp.build_loaders(Path(database_path))
+    # compressed-protocol eval (test_config.eval_compressed): report the
+    # reference's second headline column alongside the clean EER
+    evl_cmp = (
+        exp.build_compressed_eval(Path(database_path))[0]
+        if cfg.test.eval_compressed
+        else None
+    )
 
     accum = max(1, cfg.training.accumulation_steps)
     # ceil: the trailing partial accumulation group takes an optimizer step too
@@ -875,7 +952,7 @@ def run_training(
         metric_log.flush()
         history.append({"epoch": epoch, "loss": loss, "dev_eer": dev_eer, "dev_tdcf": dev_tdcf})
 
-        eval_eer = eval_tdcf = None
+        eval_eer = eval_tdcf = eval_eer_cmp = eval_tdcf_cmp = None
         if dev_eer < best_dev_eer:
             best_dev_eer = dev_eer
             if cfg.training.save_best_ckpt:
@@ -888,6 +965,18 @@ def run_training(
                     str(metrics_dir / f"t-DCF_EER_{epoch:03d}epo.txt"), printout=False,
                 )
                 log_fn(f"  eval_eer {eval_eer:.3f}% eval_tdcf {eval_tdcf:.5f}")
+                if evl_cmp is not None:
+                    cmp_score = run_dir / ("compressed_" + cfg.eval_output)
+                    exp.score_split(evl_cmp, eval_proto, cmp_score)
+                    eval_eer_cmp, eval_tdcf_cmp = calculate_tdcf_eer(
+                        str(cmp_score), asv_path,
+                        str(metrics_dir / f"t-DCF_EER_compressed_{epoch:03d}epo.txt"),
+                        printout=False,
+                    )
+                    log_fn(
+                        f"  compressed eval_eer {eval_eer_cmp:.3f}% "
+                        f"eval_tdcf {eval_tdcf_cmp:.5f}"
+                    )
                 if eval_tdcf < best_eval_tdcf:
                     best_eval_tdcf, best_eval_eer = eval_tdcf, eval_eer
                     weights.save_named(exp.state, "best")
@@ -906,6 +995,8 @@ def run_training(
             "dev_tdcf": dev_tdcf,
             "eval_eer": eval_eer,
             "eval_tdcf": eval_tdcf,
+            "eval_eer_compressed": eval_eer_cmp,
+            "eval_tdcf_compressed": eval_tdcf_cmp,
             "lr": float(exp.lr_schedule(max(0, step_now - 1))),
             "train_seconds": round(train_seconds, 3),
             "utt_per_sec": round(n_utts / max(train_seconds, 1e-9), 3),
@@ -949,6 +1040,22 @@ def run_training(
             str(final_score), asv_path, str(metrics_dir / "t-DCF_EER_swa.txt"), printout=False
         )
         log_fn(f"SWA eval_eer {swa_eer:.3f}% eval_tdcf {swa_tdcf:.5f}")
+        if evl_cmp is not None:
+            cmp_final = run_dir / ("swa_compressed_" + cfg.eval_output)
+            exp.score_split(evl_cmp, eval_proto, cmp_final, use_ema=False)
+            swa_eer_c, swa_tdcf_c = calculate_tdcf_eer(
+                str(cmp_final), asv_path,
+                str(metrics_dir / "t-DCF_EER_swa_compressed.txt"), printout=False,
+            )
+            log_fn(
+                f"SWA compressed eval_eer {swa_eer_c:.3f}% "
+                f"eval_tdcf {swa_tdcf_c:.5f}"
+            )
+            metric_log.write(
+                f"final: swa_eval_eer={swa_eer:.4f} "
+                f"swa_eval_eer_compressed={swa_eer_c:.4f}\n"
+            )
+            metric_log.flush()
 
     # optional cross-domain 2021-DF auto-eval (reference `main.py:698-796`,
     # which calls a module the reference ships without)

@@ -55,6 +55,7 @@ def trained_ckpt(tmp_path_factory):
     return cfg, path, exp
 
 
+@pytest.mark.slow
 def test_load_weights_accepts_full_train_state(trained_ckpt):
     cfg, path, trained = trained_ckpt
     exp = Experiment(cfg, seed=7)

@@ -85,6 +85,7 @@ def _train_one_step(exp, cfg):
     return before["model"]["wavlm_stream"]["model"], after["model"]["wavlm_stream"]["model"]
 
 
+@pytest.mark.slow
 def test_scan_layout_freeze_mask_is_per_layer_vector():
     cfg = _cfg(n_freeze=1, scan=True)
     exp = Experiment(cfg, seed=0)
@@ -100,6 +101,7 @@ def test_scan_layout_freeze_mask_is_per_layer_vector():
     )
 
 
+@pytest.mark.slow
 def test_scan_layout_freeze_trains_only_unfrozen_layers():
     cfg = _cfg(n_freeze=1, scan=True)
     exp = Experiment(cfg, seed=0)
@@ -143,6 +145,7 @@ def test_scan_freeze_mask_matches_unrolled_semantics():
         assert got == want, f"layer {i} mask mismatch"
 
 
+@pytest.mark.slow
 def test_pp_layout_freeze_trains_only_unfrozen_layers():
     cfg = _cfg(n_freeze=1, pipeline_axis=2)
     exp = Experiment(cfg, seed=0, mesh=make_mesh_pp(1, 2))

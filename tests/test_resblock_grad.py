@@ -27,6 +27,7 @@ def _params(rng, cin, cout):
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
+@pytest.mark.slow
 def test_chain_vjp_matches_reference_grads():
     rng = np.random.RandomState(0)
     H, W = 5, 99
@@ -58,6 +59,7 @@ def test_chain_vjp_matches_reference_grads():
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sinc_encoder_train_fast_matches_module():
     """Forward + grads of the trainable fast encoder vs the flax module
     (freeze_bn, no freq-aug) on a tiny sinc config."""
@@ -99,6 +101,7 @@ def test_sinc_encoder_train_fast_matches_module():
         )
 
 
+@pytest.mark.slow
 def test_sinc_encoder_train_fast_freq_mask_active():
     """With a freq key the masked band changes the output and grads flow."""
     from rade_tpu.models.dual_stream_se_mamba import (

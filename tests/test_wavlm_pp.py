@@ -85,6 +85,7 @@ def test_pipelined_matches_sequential(frontend):
     )
 
 
+@pytest.mark.slow
 def test_pipelined_gradients_match(frontend):
     model, params = frontend
     x = jnp.asarray(np.random.RandomState(2).randn(4, 1220) * 0.1, jnp.float32)
