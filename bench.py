@@ -6,24 +6,30 @@ the very end).  This version:
 
 1. prints the inference JSON record THE MOMENT it is measured (the driver
    parses the LAST parseable line, so a later combined record supersedes it);
-2. runs a daemon watchdog that, at ``RADE_BENCH_DEADLINE_S`` (default 420 s)
+2. hides all LOCAL training-bench setup (Experiment build, state transfers,
+   train-step tracing) under the inference compile's remote wait — compile
+   latency through the TPU relay is weather-dependent (measured 56-341 s for
+   the SAME graph on one day) and is pure server-side queueing.  Device
+   EXECUTION never overlaps an in-flight compile: measured round 4, an
+   execute issued while another graph compiles hangs the relay client
+   (stuck >380 s on a 3 s warmup, and the forced exit then wedged the relay
+   for ~30 min).  So: trace everything early, compile strictly one at a
+   time, measure only between compiles;
+3. runs a daemon watchdog that, at ``RADE_BENCH_DEADLINE_S`` (default 520 s)
    after process start, prints the best record measured so far and hard-exits
-   0 — so even a hung XLA compile cannot lose the round's numbers;
-3. logs stage-timestamped progress to stderr (import / init / infer-compile /
-   infer / train-setup / train-compile / train) so any future rc=124 is
+   0 — so even a hung relay compile cannot lose the round's numbers;
+4. logs stage-timestamped progress to stderr so any future rc=124 is
    diagnosable from the tail.
 
-Output: one JSON object per line; the last line is the most complete:
-  {"metric": "inference_throughput_utt_per_sec_per_chip", "value": N,
-   "unit": "...", "vs_baseline": N,
-   "train_utt_per_sec_per_chip": N, "train_vs_baseline": N, ...}
+Output: one JSON object per line; the last line is the most complete.
 
 Baselines (BASELINE.md): inference ~40 ms/sample at batch 32 on a V100
 (`/root/reference/README.md:99-105`) = 25 utt/s; training 14-28 utt/s on an
 RTX 4090D with FGM (15-30 min/epoch over 25,380 utts,
 `/root/reference/docs/README_TRAINING.md:55-58`) — midpoint 21 utt/s.  Both
 measured on the jit'd step, real hardware, 64600-sample utterances, the
-shipped Phase6_TPU.conf recipe.
+shipped Phase6_TPU.conf recipe (LoRA adapters live in BOTH benches, like the
+reference's Phase-6 eval path).
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ import threading
 import time
 
 T0 = time.monotonic()
-DEADLINE_S = float(os.environ.get("RADE_BENCH_DEADLINE_S", "420"))
+DEADLINE_S = float(os.environ.get("RADE_BENCH_DEADLINE_S", "520"))
 
 REFERENCE_UTT_PER_SEC = 25.0  # V100, Phase-6, 40 ms/sample @ bs=32
 REFERENCE_TRAIN_UTT_PER_SEC = 21.0  # RTX 4090D, Phase-6 w/ FGM, midpoint
@@ -87,54 +93,25 @@ def _watchdog() -> None:
     os._exit(0)
 
 
-def bench_train(record: dict) -> None:
-    """Full Phase-6 train-step throughput (utt/s/chip), FGM included.
+class _CompileJob(threading.Thread):
+    """Remote-compile an already-lowered computation off the main thread."""
 
-    Mutates ``record`` in place as milestones land, so the watchdog's
-    snapshot carries stage timings even if a later stage hangs.
-    """
-    import jax.numpy as jnp
-    import numpy as np
+    def __init__(self, name, lowered):
+        super().__init__(daemon=True, name=name)
+        self.lowered = lowered
+        self.compiled = None
+        self.error: BaseException | None = None
+        self.seconds = 0.0
 
-    import __graft_entry__ as ge
-    from rade_tpu.train.loop import Experiment
-
-    _log("train: building experiment (shipped Phase6_TPU.conf)")
-    cfg = ge._phase6_cfg(tiny=False)
-    # fast_init: shape-materialized params (throughput is init-value
-    # independent; the real init costs ~330 s of relay compile — round-3's
-    # rc=124 root cause)
-    exp = Experiment(cfg, seed=0, fast_init=True)
-    state = exp.setup_training(steps_per_epoch=100)
-    record["t_train_setup_s"] = round(_elapsed(), 1)
-    _log("train: state ready; tracing + compiling train step")
-
-    accum = max(1, cfg.training.accumulation_steps)
-    micro_bs = cfg.batch_size
-    T = int(cfg.model_config.get("nb_samp", 64600))
-    rng = np.random.RandomState(0)
-    xs = jnp.asarray(rng.randn(accum, micro_bs, T).astype(np.float32) * 0.1)
-    ys = jnp.asarray(rng.randint(0, 2, (accum, micro_bs)).astype(np.int32))
-    ws = jnp.ones((accum,), jnp.float32)
-
-    t_c = time.monotonic()
-    state, metrics = exp.train_step(state, xs, ys, ws)  # compile
-    np.asarray(metrics["loss"])
-    record["t_train_compile_s"] = round(time.monotonic() - t_c, 1)
-    _log(f"train: compiled+warm in {record['t_train_compile_s']}s; measuring")
-
-    # measure with however many iterations the remaining budget allows
-    n = 8 if _remaining() > 30 else 3
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = exp.train_step(state, xs, ys, ws)
-    np.asarray(metrics["loss"])  # fence (axon acks enqueue on block_until_ready)
-    dt = (time.perf_counter() - t0) / n
-    ups = micro_bs * accum / dt
-    record["train_utt_per_sec_per_chip"] = round(ups, 2)
-    record["train_vs_baseline"] = round(ups / REFERENCE_TRAIN_UTT_PER_SEC, 3)
-    record["train_ms_per_step"] = round(dt * 1e3, 1)
-    _log(f"train: {dt * 1e3:.1f} ms/step = {ups:.2f} utt/s/chip (n={n})")
+    def run(self):
+        t0 = time.monotonic()
+        try:
+            self.compiled = self.lowered.compile()
+        except BaseException as e:  # noqa: BLE001 — recorded, re-raised on join
+            self.error = e
+        self.seconds = time.monotonic() - t0
+        _log(f"{self.name}: compile done in {self.seconds:.1f}s"
+             + (f" (ERROR {type(self.error).__name__})" if self.error else ""))
 
 
 def main() -> None:
@@ -147,24 +124,69 @@ def main() -> None:
 
     import __graft_entry__ as ge
 
-    _log("jax imported; building flagship model + init")
+    _log("jax imported; building flagship model (shape-materialized params)")
     forward, (variables, x) = ge.entry()
-    fwd = jax.jit(forward)
     # batch 32 matches the reference's latency protocol (V100, bs=32) and
     # fits the v5e's 16GB HBM on the full-bf16 path
     target_bs = 32
+    if x.shape[0] != target_bs:
+        x = jax.numpy.tile(x, (max(1, target_bs // x.shape[0]), 1))[:target_bs]
     batch = x.shape[0]
-    if batch != target_bs:
-        x = jax.numpy.tile(x, (max(1, target_bs // batch), 1))[:target_bs]
-        batch = x.shape[0]
-    _log("inference: compiling forward (bs=32)")
+    _log("inference: tracing forward (bs=32), then remote compile")
+    job_inf = _CompileJob("inference", jax.jit(forward).lower(variables, x))
+    job_inf.start()
 
-    # compile + warmup — np.asarray is a hard fence (device->host readback);
-    # on the axon relay, block_until_ready acks enqueue rather than completion
-    t_c = time.monotonic()
+    # --- LOCAL train-bench setup rides under the inference compile's remote
+    # wait: Experiment build, state transfers, and train-step tracing are
+    # client-side (transfers during a compile are safe — measured; device
+    # EXECUTION during a compile is not) ---
+    lowered_train = None
+    record_extra: dict = {}
+    exp = state = xs = ys = ws = None
+    if not os.environ.get("RADE_BENCH_SKIP_TRAIN"):
+        try:
+            import jax.numpy as jnp
+
+            from rade_tpu.train.loop import Experiment
+
+            _log("train: building experiment (shipped Phase6_TPU.conf)")
+            cfg = ge._phase6_cfg(tiny=False)
+            # reuse the inference bench's shape-materialized variables:
+            # throughput is init-value independent, and the real init costs
+            # ~330 s of relay compile (round-3's rc=124 root cause)
+            exp = Experiment(
+                cfg, seed=0, fast_init=True, init_variables=variables
+            )
+            state = exp.setup_training(steps_per_epoch=100)
+            record_extra["t_train_setup_s"] = round(_elapsed(), 1)
+            accum = max(1, cfg.training.accumulation_steps)
+            micro_bs = cfg.batch_size
+            T = int(cfg.model_config.get("nb_samp", 64600))
+            rng = np.random.RandomState(0)
+            xs = jnp.asarray(
+                rng.randn(accum, micro_bs, T).astype(np.float32) * 0.1
+            )
+            ys = jnp.asarray(
+                rng.randint(0, 2, (accum, micro_bs)).astype(np.int32)
+            )
+            ws = jnp.ones((accum,), jnp.float32)
+            _log("train: state ready; tracing step (local)")
+            lowered_train = exp.train_step.lower(state, xs, ys, ws)
+            record_extra["t_train_trace_s"] = round(_elapsed(), 1)
+            _log("train: traced; waiting for the inference compile")
+        except Exception as e:
+            record_extra["train_bench_error"] = type(e).__name__
+            _log(f"train: setup FAILED with {type(e).__name__}: {e}")
+
+    # --- inference measurement (no other RPC in flight) ---
+    job_inf.join()
+    if job_inf.error is not None:
+        raise job_inf.error
+    fwd = job_inf.compiled
+    _log(f"inference: compiled in {job_inf.seconds:.1f}s; warming + measuring")
+    # warmup — np.asarray is a hard fence (device->host readback); on the
+    # axon relay, block_until_ready acks enqueue rather than completion
     np.asarray(fwd(variables, x))
-    t_infer_compile = round(time.monotonic() - t_c, 1)
-    _log(f"inference: compiled+warm in {t_infer_compile}s; measuring")
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -178,21 +200,38 @@ def main() -> None:
         "value": round(utt_per_sec, 2),
         "unit": f"utt/s/chip (bs={batch}, 64600 samples)",
         "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
-        "t_infer_compile_s": t_infer_compile,
+        "t_infer_compile_s": round(job_inf.seconds, 1),
+        **record_extra,
     }
     # print the inference record IMMEDIATELY — the record is now un-losable
     _emit(record)
     _log(f"inference: {utt_per_sec:.2f} utt/s/chip — record emitted")
 
-    if os.environ.get("RADE_BENCH_SKIP_TRAIN"):
-        _log("RADE_BENCH_SKIP_TRAIN set; done")
-    elif _remaining() < 60:
-        record["train_bench_error"] = "skipped_low_budget"
-        _log(f"train: skipped, only {_remaining():.0f}s left in budget")
-        _emit(record)
-    else:
+    # --- train: compile (only RPC in flight), then measure ---
+    if lowered_train is not None:
         try:
-            bench_train(record)
+            t_c = time.monotonic()
+            _log("train: compiling step (remote)")
+            step = lowered_train.compile()
+            record["t_train_compile_s"] = round(time.monotonic() - t_c, 1)
+            _log(f"train: compiled in {record['t_train_compile_s']}s; "
+                 "warming + measuring")
+            state, metrics = step(state, xs, ys, ws)  # warmup (donates state)
+            np.asarray(metrics["loss"])
+            n = 8 if _remaining() > 30 else 3
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = step(state, xs, ys, ws)
+            np.asarray(metrics["loss"])  # fence
+            dt = (time.perf_counter() - t0) / n
+            micro_bs, accum = xs.shape[1], xs.shape[0]
+            ups = micro_bs * accum / dt
+            record["train_utt_per_sec_per_chip"] = round(ups, 2)
+            record["train_vs_baseline"] = round(
+                ups / REFERENCE_TRAIN_UTT_PER_SEC, 3
+            )
+            record["train_ms_per_step"] = round(dt * 1e3, 1)
+            _log(f"train: {dt * 1e3:.1f} ms/step = {ups:.2f} utt/s/chip (n={n})")
         except Exception as e:  # OOM / compile failure must not lose the record
             record["train_bench_error"] = type(e).__name__
             _log(f"train: FAILED with {type(e).__name__}: {e}")

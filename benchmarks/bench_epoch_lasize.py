@@ -54,7 +54,9 @@ def main():
     if args.host:
         cfg.data.device_cache = False
 
-    exp = Experiment(cfg, seed=0)
+    # fast_init: throughput is init-value independent, and the real init
+    # costs ~1 min (CPU backend) to ~5 min (relay compile) of dead time
+    exp = Experiment(cfg, seed=0, fast_init=True)
     t0 = time.perf_counter()
     trn, _dev, _evl, _dev_proto, _eval_proto = exp.build_loaders(cfg.database_path)
     n = len(trn.dataset)

@@ -50,7 +50,7 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
     elif "fastsinc" in flags:
         cfg.model_config["use_pallas_resblock_training"] = True
     print(f"flags={flags!r}", flush=True)
-    exp = Experiment(cfg, seed=0)
+    exp = Experiment(cfg, seed=0, fast_init=True)
     state = exp.setup_training(steps_per_epoch=100)
 
     T = int(cfg.model_config.get("nb_samp", 64600))

@@ -36,7 +36,7 @@ def main(step_ms: float = 647.0):
     for k in ("use_pallas_scan", "use_pallas_resblock",
               "use_pallas_resblock_training"):
         cfg.model_config[k] = False
-    exp = Experiment(cfg, seed=0)
+    exp = Experiment(cfg, seed=0, fast_init=True)
     params = exp.params
     mask = exp.trainable_mask
 

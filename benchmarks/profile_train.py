@@ -102,7 +102,7 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = "") -> None:
     if "nofgm" in flags:
         cfg.training.use_fgm = False
     print(f"flags={flags!r}", flush=True)
-    exp = Experiment(cfg, seed=0)
+    exp = Experiment(cfg, seed=0, fast_init=True)
     state = exp.setup_training(steps_per_epoch=100)
 
     import jax.numpy as jnp

@@ -104,10 +104,14 @@ class Experiment:
         seed: int = 1234,
         mesh=None,
         fast_init: bool = False,
+        init_variables=None,
     ):
         self.cfg = cfg
         self.seed = seed
         self.fast_init = bool(fast_init)
+        # pre-built model variables ({'params':..,'batch_stats':..}) skip
+        # init entirely — benchmarks reuse the entry()-materialized tree
+        self._init_variables_override = init_variables
         self.mesh = mesh if mesh is not None else self._mesh_from_config(cfg)
         # register the mesh for sequence-parallel activation constraints
         # (no-op for modules without sequence_parallel; deactivates when the
@@ -310,6 +314,8 @@ class Experiment:
         """
         from rade_tpu.utils.fast_init import cpu_init, shape_init
 
+        if self._init_variables_override is not None:
+            return self._init_variables_override
         if self.fast_init:
             variables = shape_init(self.model, init_rngs, dummy, seed=self.seed)
             return jax.device_put(variables)
