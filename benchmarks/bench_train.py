@@ -49,6 +49,8 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.model_config["use_pallas_resblock_training"] = "native"
     elif "fastsinc" in flags:
         cfg.model_config["use_pallas_resblock_training"] = True
+    if "gatedattn" in flags:
+        cfg.model_config["wavlm_fused_gated_attention"] = True
     print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0, fast_init=True)
     state = exp.setup_training(steps_per_epoch=100)

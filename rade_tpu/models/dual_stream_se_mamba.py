@@ -289,6 +289,9 @@ class DualStreamSEMamba(nn.Module):
             remat_policy=str(model_config.get("wavlm_remat_policy", "full")),
             scan_layers=bool(model_config.get("wavlm_scan_layers", False)),
             flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+            fused_gated_attention=bool(
+                model_config.get("wavlm_fused_gated_attention", False)
+            ),
             sequence_parallel=bool(
                 model_config.get("wavlm_sequence_parallel", False)
             ),

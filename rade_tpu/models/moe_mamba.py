@@ -71,6 +71,9 @@ class MoEMambaASV(nn.Module):
                 "tiny": WavLMConfig.tiny}[variant](
             remat=bool(model_config.get("wavlm_remat", True)),
             flash_attention=bool(model_config.get("wavlm_flash_attention", False)),
+            fused_gated_attention=bool(
+                model_config.get("wavlm_fused_gated_attention", False)
+            ),
             sequence_parallel=bool(
                 model_config.get("wavlm_sequence_parallel", False)
             ),

@@ -81,6 +81,14 @@ class WavLMConfig:
     # train-path keeps the unfused einsum because the recipe applies attention
     # dropout on the probabilities, which the kernel does not support
     flash_attention: bool = False
+    # fuse BOTH paths with the dense gated-attention kernel
+    # (kernels/gated_attention.py): exploits the factored WavLM bias
+    # (gate x table) so no per-sample (B,H,L,L) tensor ever reaches HBM, and
+    # applies attention-probability dropout inside the kernel (TPU hardware
+    # PRNG — same substitution class as training_config.fast_rng).  Takes
+    # precedence over flash_attention; falls back to the unfused einsum off
+    # TPU (CPU meshes / tests)
+    fused_gated_attention: bool = False
     # Megatron-style sequence parallelism: constrain the residual stream to
     # be time-sharded over the mesh `model` axis between attention/FFN
     # blocks (rade_tpu/parallel/sp.py).  No-op on meshes without a model
@@ -198,6 +206,11 @@ class WavLMAttention(nn.Module):
             )
             position_bias = table[jnp.asarray(buckets)].transpose(2, 0, 1)  # (H, L, L)
 
+        use_fused_gated = (
+            cfg.fused_gated_attention
+            and not plain
+            and jax.default_backend() == "tpu"
+        )
         if not plain:
             # gated relative position bias from the pre-projection hiddens
             gated = x.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)  # (B,H,L,hd)
@@ -208,7 +221,8 @@ class WavLMAttention(nn.Module):
                 "gru_rel_pos_const", nn.initializers.ones, (1, H, 1, 1)
             )
             gate = gate_a * (gate_b * gru_const - 1.0) + 2.0  # (B, H, L, 1)
-            gated_bias = gate * position_bias[None]  # (B, H, L, L)
+            if not use_fused_gated:
+                gated_bias = gate * position_bias[None]  # (B, H, L, L)
 
         def proj(name: str, inp):
             y = nn.Dense(E, name=name)(inp)
@@ -232,7 +246,20 @@ class WavLMAttention(nn.Module):
         k = k.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bsz, L, H, hd).transpose(0, 2, 1, 3)
 
-        if cfg.flash_attention and not train:
+        if use_fused_gated:
+            from rade_tpu.kernels.gated_attention import gated_attention
+
+            dropout_p = float(cfg.attention_dropout)
+            if train and dropout_p > 0.0:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (), jnp.uint32
+                )
+            else:
+                seed = jnp.uint32(0)
+            out = gated_attention(
+                q, k, v, gate, position_bias, seed, dropout_p, train
+            )
+        elif cfg.flash_attention and not train:
             from rade_tpu.kernels.attention import fused_bias_attention
 
             out = fused_bias_attention(q, k, v, None if plain else gated_bias)
