@@ -90,9 +90,12 @@ def _softmax_rows(s: jax.Array, L: int) -> jax.Array:
 
 def _fwd_body(q_ref, k_ref, v_ref, gate_ref, bias_ref, o_ref, keep, scale,
               *, L: int):
-    q = q_ref[0, 0].astype(jnp.float32)          # (Lp, hd)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # dots run on the NATIVE operand dtype (bf16 in production) with f32
+    # accumulation — an f32 cast before the dot would run the MXU at its
+    # ~4x-slower f32 rate for zero accuracy gain over the bf16 XLA baseline
+    q = q_ref[0, 0]                              # (Lp, hd)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                            # (Lp, Lp) = q @ k^T
@@ -102,15 +105,17 @@ def _fwd_body(q_ref, k_ref, v_ref, gate_ref, bias_ref, o_ref, keep, scale,
     if keep is not None:
         p = jnp.where(keep, p * scale, 0.0)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _fwd_kernel_prng(seed_ref, q_ref, k_ref, v_ref, gate_ref, bias_ref,
                      o_ref, *, L: int, dropout_p: float, n_heads: int):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
+    # grid (H, B), b innermost — same (seed + b*H + h) stream as before
+    h = pl.program_id(0)
+    b = pl.program_id(1)
     keep = scale = None
     if dropout_p > 0.0:
         pltpu.prng_seed(seed_ref[0, 0] + b * n_heads + h)
@@ -134,13 +139,15 @@ def _fwd_kernel_mask(q_ref, k_ref, v_ref, gate_ref, bias_ref, m_ref, o_ref,
 def _fwd_call(q, k, v, gate, bias, seed, keep_mask, *, L: int,
               dropout_p: float):
     B, H, Lp, hd = q.shape
-    qspec = pl.BlockSpec((1, 1, Lp, hd), lambda b, h: (b, h, 0, 0),
+    # grid (H, B), b innermost: the (h)-indexed bias block stays resident in
+    # VMEM across all B revisits instead of being refetched every step
+    qspec = pl.BlockSpec((1, 1, Lp, hd), lambda h, b: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
-    gspec = pl.BlockSpec((1, 1, Lp, 1), lambda b, h: (b, h, 0, 0),
+    gspec = pl.BlockSpec((1, 1, Lp, 1), lambda h, b: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, Lp, Lp), lambda b, h: (h, 0, 0),
+    bspec = pl.BlockSpec((1, Lp, Lp), lambda h, b: (h, 0, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 1, Lp, hd), lambda b, h: (b, h, 0, 0),
+    ospec = pl.BlockSpec((1, 1, Lp, hd), lambda h, b: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
     if keep_mask is None:
         kern = functools.partial(
@@ -148,18 +155,18 @@ def _fwd_call(q, k, v, gate, bias, seed, keep_mask, *, L: int,
         )
         return pl.pallas_call(
             kern,
-            grid=(B, H),
+            grid=(H, B),
             in_specs=[_smem_seed_spec(), qspec, qspec, qspec, gspec, bspec],
             out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((B, H, Lp, hd), q.dtype),
             interpret=INTERPRET,
         )(seed, q, k, v, gate, bias)
     kern = functools.partial(_fwd_kernel_mask, L=L, dropout_p=dropout_p)
-    mspec = pl.BlockSpec((1, 1, Lp, Lp), lambda b, h: (b, h, 0, 0),
+    mspec = pl.BlockSpec((1, 1, Lp, Lp), lambda h, b: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(B, H),
+        grid=(H, B),
         in_specs=[qspec, qspec, qspec, gspec, bspec, mspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((B, H, Lp, hd), q.dtype),
@@ -173,10 +180,10 @@ def _fwd_call(q, k, v, gate, bias, seed, keep_mask, *, L: int,
 def _bwd_body(b, q_ref, k_ref, v_ref, gate_ref, bias_ref, do_ref,
               dq_ref, dk_ref, dv_ref, dgate_ref, dbias_ref, keep, scale,
               *, L: int):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)        # (Lp, hd)
+    q = q_ref[0, 0]                              # native dtype (bf16 prod)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                            # (Lp, hd)
     gate = gate_ref[0, 0].astype(jnp.float32)    # (Lp, 1)
     bias = bias_ref[0].astype(jnp.float32)       # (Lp, Lp)
 
@@ -209,15 +216,19 @@ def _bwd_body(b, q_ref, k_ref, v_ref, gate_ref, bias_ref, do_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, (Lp, Lp), 0)
     ds = jnp.where(row < L, ds, 0.0)
     dpad = jnp.where(row < L, pd, 0.0)
+    # MXU dots on the native dtype (bf16 prod, f32 on the CPU test path) —
+    # same precision class as the bf16 XLA baseline's backward
+    dsl = ds.astype(q.dtype)
     # dv = pd^T @ do
     dv = jax.lax.dot_general(
-        dpad, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dpad.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )                                            # (Lk, hd)
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dsl, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                            # (Lq, hd)
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dsl, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                            # (Lk, hd)
     dgate = jnp.sum(ds * bias, axis=-1, keepdims=True)  # (Lq, 1)
 

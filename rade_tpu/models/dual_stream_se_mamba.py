@@ -309,7 +309,12 @@ class DualStreamSEMamba(nn.Module):
             sinc_channels=int(model_config.get("sinc_channels", 70)),
             se_reduction=int(model_config.get("se_reduction", 16)),
             wavlm_cfg=wcfg,
-            use_pallas_scan=bool(model_config.get("use_pallas_scan", False)),
+            # TPU-only kernel (no interpret fallback in selective_scan):
+            # gate on backend like wavlm's fused_gated_attention, so any
+            # .conf runs unmodified on CPU (the reference's mock-mamba
+            # CPU-check pattern, `/root/reference/utils/check_model.py:6-24`)
+            use_pallas_scan=bool(model_config.get("use_pallas_scan", False))
+            and jax.default_backend() == "tpu",
             wavlm_weighting=str(model_config.get("wavlm_weighting", "softmax")),
             sinc_remat=bool(model_config.get("sinc_remat", False)),
         )
