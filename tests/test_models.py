@@ -102,3 +102,19 @@ def test_freq_aug_changes_output():
         rngs={"freq_aug": jax.random.PRNGKey(3)},
     )
     assert not np.allclose(np.asarray(out_plain), np.asarray(out_masked))
+
+
+def test_pallas_scan_flag_gated_off_cpu():
+    """TPU-only kernel flags must not survive from_config on a CPU backend:
+    any shipped .conf (they all set use_pallas_scan) must build and run
+    unmodified on CPU — the reference's mock-mamba CPU-check pattern
+    (`/root/reference/utils/check_model.py:6-24`), done at the config gate
+    instead of by monkeypatching."""
+    m = build_model({
+        "architecture": "DualStreamSEMamba", "nb_samp": 6000,
+        "emb_size": 16, "num_encoders": 1, "d_state": 4,
+        "sinc_channels": 16, "wavlm_variant": "tiny",
+        "use_pallas_scan": True,
+    })
+    assert jax.default_backend() == "cpu"  # conftest pins CPU
+    assert m.use_pallas_scan is False
