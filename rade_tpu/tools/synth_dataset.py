@@ -53,8 +53,8 @@ def _soft_clip(x, s):
     return np.tanh(x * d) / np.tanh(d)
 
 
-def _quant(x, s):  # coarse requantization: 12 bits (inaudible) .. ~6 bits
-    bits = 12.0 - 6.0 * s
+def _quant(x, s):  # coarse requantization: ~10 bits (subtle) .. ~5 bits
+    bits = 10.0 - 5.0 * s
     q = 2.0 ** (bits - 1)
     return np.round(x * q) / q
 
@@ -62,7 +62,7 @@ def _quant(x, s):  # coarse requantization: 12 bits (inaudible) .. ~6 bits
 def _am(x, s, rng):  # shallow amplitude modulation
     t = np.arange(len(x)) / SR
     rate = rng.uniform(25, 90)
-    return x * (1.0 - 0.25 * s + 0.25 * s * np.sin(2 * np.pi * rate * t))
+    return x * (1.0 - 0.5 * s + 0.5 * s * np.sin(2 * np.pi * rate * t))
 
 
 def _notch(x, s, rng):  # narrow spectral notch at a random center
@@ -76,7 +76,7 @@ def _notch(x, s, rng):  # narrow spectral notch at a random center
 
 def _hum(x, s, rng):  # mains hum + harmonic
     t = np.arange(len(x)) / SR
-    a = 0.012 * s
+    a = 0.035 * s
     return x + a * np.sin(2 * np.pi * 50 * t) + 0.5 * a * np.sin(2 * np.pi * 150 * t)
 
 
@@ -85,14 +85,15 @@ def _smear(x, s, rng):  # pre-echo / reverb-ish exponential tail
     h = np.exp(-np.arange(k) / (4 + 60 * s))
     h /= h.sum()
     y = np.convolve(x, h)[: len(x)]
-    return 0.7 * x + 0.3 * y
+    m = 0.2 + 0.35 * s
+    return (1.0 - m) * x + m * y
 
 
 def _phase_rand(x, s, rng):  # partial phase randomization above ~2 kHz
     X = np.fft.rfft(x)
     f = np.fft.rfftfreq(len(x), 1 / SR)
     m = f > rng.uniform(1500, 3500)
-    X[m] *= np.exp(1j * s * rng.uniform(-np.pi, np.pi, m.sum()) * 0.6)
+    X[m] *= np.exp(1j * s * rng.uniform(-np.pi, np.pi, m.sum()) * 0.9)
     return np.fft.irfft(X, len(x))
 
 
@@ -100,14 +101,14 @@ def _hiss(x, s, rng):  # band-passed noise floor
     w = rng.randn(len(x))
     W = np.fft.rfft(w)
     f = np.fft.rfftfreq(len(x), 1 / SR)
-    W[(f < 2000) | (f > 7000)] = 0
+    W[(f < 1500) | (f > 6000)] = 0
     w = np.fft.irfft(W, len(x))
     w /= np.abs(w).max() + 1e-9
-    return x + 0.02 * s * w
+    return x + 0.05 * s * w
 
 
 def _pitch_warp(x, s, rng):  # tiny constant resampling (pitch/timing drift)
-    r = 1.0 + s * rng.choice([-1, 1]) * 0.004
+    r = 1.0 + s * rng.choice([-1, 1]) * 0.012
     idx = np.clip(np.arange(len(x)) * r, 0, len(x) - 1)
     return np.interp(idx, np.arange(len(x)), x)
 
@@ -132,19 +133,26 @@ _HARD_ATTACKS = {  # A07..A19 -> per-attack signature
 def _bonafide_hard(rng: np.random.RandomState, n: int) -> np.ndarray:
     """Bonafide with recording-style nuisance artifacts (class overlap)."""
     x = _bonafide(rng, n)
+    # nuisance strengths stay BELOW the spoof draw's 0.25 floor so the
+    # class boundary is noisy but real (v2, see _spoof_hard)
     if rng.rand() < 0.3:  # some genuine recordings are slightly clipped
-        x = _soft_clip(x, rng.uniform(0.0, 0.25))
+        x = _soft_clip(x, rng.uniform(0.0, 0.2))
     if rng.rand() < 0.3:  # or carry a faint noise floor / hum
-        x = _hiss(x, rng.uniform(0.0, 0.4), rng)
+        x = _hiss(x, rng.uniform(0.0, 0.2), rng)
     if rng.rand() < 0.2:
-        x = _hum(x, rng.uniform(0.0, 0.3), rng)
+        x = _hum(x, rng.uniform(0.0, 0.2), rng)
     return x
 
 
 def _spoof_hard(rng: np.random.RandomState, n: int, attack: int) -> np.ndarray:
     """Per-attack subtle signature at an overlapping strength draw."""
     x = _bonafide_hard(rng, n)
-    s = rng.uniform(0.08, 0.8)  # weak end is near-indistinguishable
+    # v2 strengths: the v1 draw (0.08..0.8 over shallower transforms) left
+    # the class boundary UNDER the RawBoost/codec augmentation noise floor —
+    # the flagship sat at ~47-49% dev EER for 9 epochs (too hard is as
+    # useless as too easy).  The floor keeps the weak end learnable; the
+    # transforms above are deep enough to survive augmentation.
+    s = rng.uniform(0.25, 0.95)
     y = _HARD_ATTACKS[attack](x, s, rng)
     return 0.3 * y / (np.abs(y).max() + 1e-9)
 
