@@ -185,8 +185,30 @@ def main() -> None:
     fwd = job_inf.compiled
     _log(f"inference: compiled in {job_inf.seconds:.1f}s; warming + measuring")
     # warmup — np.asarray is a hard fence (device->host readback); on the
-    # axon relay, block_until_ready acks enqueue rather than completion
+    # axon relay, block_until_ready acks enqueue rather than completion.
+    # NOTE a cold execute can stall for minutes on relay weather (measured:
+    # a warmup issued with NO other RPC in flight hung 335+ s), so emit a
+    # provisional single-iteration record the moment ANY timed execute
+    # completes — the refined 20-iter record supersedes it.
     np.asarray(fwd(variables, x))
+    _log("inference: warm; measuring")
+
+    def _infer_record(utt_per_sec: float, n: int) -> dict:
+        return {
+            "metric": "inference_throughput_utt_per_sec_per_chip",
+            "value": round(utt_per_sec, 2),
+            "unit": f"utt/s/chip (bs={batch}, 64600 samples, n={n})",
+            "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
+            "t_infer_compile_s": round(job_inf.seconds, 1),
+            **record_extra,
+        }
+
+    t0 = time.perf_counter()
+    np.asarray(fwd(variables, x))  # one fenced iter -> provisional record
+    dt1 = time.perf_counter() - t0
+    _emit(_infer_record(batch / dt1, 1))
+    _log(f"inference: provisional {batch / dt1:.2f} utt/s (1 iter)")
+
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -195,15 +217,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     utt_per_sec = n_iters * batch / dt
-    record = {
-        "metric": "inference_throughput_utt_per_sec_per_chip",
-        "value": round(utt_per_sec, 2),
-        "unit": f"utt/s/chip (bs={batch}, 64600 samples)",
-        "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
-        "t_infer_compile_s": round(job_inf.seconds, 1),
-        **record_extra,
-    }
-    # print the inference record IMMEDIATELY — the record is now un-losable
+    record = _infer_record(utt_per_sec, n_iters)
+    # print the refined record IMMEDIATELY — the record is now un-losable
     _emit(record)
     _log(f"inference: {utt_per_sec:.2f} utt/s/chip — record emitted")
 
