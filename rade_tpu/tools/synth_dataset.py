@@ -43,57 +43,84 @@ def _spoof(rng: np.random.RandomState, n: int) -> np.ndarray:
 # --------------------------------------------------------------- hard mode
 # The original spoof signature (hard 40% AM + 6-bit quantization) saturates:
 # the 30-epoch flagship anchor reaches 0.1% dev EER by epoch 28, so recipe
-# regressions no longer move the number.  Hard mode gives each attack id a
-# SUBTLE signature whose strength is drawn from a range overlapping "almost
+# regressions no longer move the number.  Hard mode gives each attack id its
+# own signature whose strength is drawn from a range overlapping "almost
 # clean", and adds recording-style nuisance artifacts to bonafide too — the
 # class boundary is real but noisy, targeting a 5-15% dev-EER plateau.
+#
+# Calibration history (exp_result/LA_Phase6_AnchorHard_*, 30-epoch flagship
+# runs on the real chip): v1 (s∈[0.08,0.8], shallow transforms) plateaued at
+# 43.5% dev EER — signatures under the RawBoost/codec augmentation noise
+# floor; v2 (s∈[0.25,0.95], deepened) reached 42.1% still falling — a slope
+# but no mid-band plateau.  v3 (these coefficients) makes three structural
+# changes, each validated against a linear proxy classifier
+# (benchmarks/anchor_proxy.py) before committing TPU hours:
+#   1. per-attack CONSISTENT parameters (fixed notch center, fixed AM/warble
+#      rates, fixed echo delay) — real ASVspoof attacks are per-algorithm
+#      consistent; v1/v2 drew them per-utterance, leaving no stable cue;
+#   2. a weak SHARED vocoder floor (hiss + requantization) under every
+#      attack, like real TTS/VC systems share vocoder artifact families;
+#   3. bonafide nuisance at FIXED shallow depths, decoupled from the spoof
+#      coefficients (v1/v2 scaled both together — a calibration treadmill).
+# Proxy EER: easy 0.0%, v2 (disk) 34%, v3 7-10% across seeds — aimed at a
+# 5-15% flagship plateau given the flagship ran ~8 pts above proxy on v2.
 
 def _soft_clip(x, s):
-    d = 1.0 + 6.0 * s
+    d = 1.0 + 28.0 * s
     return np.tanh(x * d) / np.tanh(d)
 
 
-def _quant(x, s):  # coarse requantization: ~10 bits (subtle) .. ~5 bits
-    bits = 10.0 - 5.0 * s
+def _quant(x, s):  # coarse requantization: ~5 bits (subtle) .. ~2.5 bits
+    bits = 6.5 - 4.0 * s
     q = 2.0 ** (bits - 1)
     return np.round(x * q) / q
 
 
-def _am(x, s, rng):  # shallow amplitude modulation
+def _am(x, s, rng):  # amplitude modulation at a per-ATTACK consistent rate
     t = np.arange(len(x)) / SR
-    rate = rng.uniform(25, 90)
-    return x * (1.0 - 0.5 * s + 0.5 * s * np.sin(2 * np.pi * rate * t))
+    rate = 45.0 * rng.uniform(0.9, 1.1)
+    return x * (1.0 - 0.8 * s + 0.8 * s * np.sin(2 * np.pi * rate * t))
 
 
-def _notch(x, s, rng):  # narrow spectral notch at a random center
+def _notch(x, s, rng):  # deep notch at a FIXED center (consistent signature)
     X = np.fft.rfft(x)
     f = np.fft.rfftfreq(len(x), 1 / SR)
-    c = rng.uniform(800, 6000)
-    w = 30 + 320 * s
-    X *= 1.0 - (0.35 + 0.65 * s) * np.exp(-0.5 * ((f - c) / w) ** 2)
+    c = 2800.0 * rng.uniform(0.95, 1.05)
+    w = 150 + 900 * s
+    X *= 1.0 - (0.5 + 0.5 * s) * np.exp(-0.5 * ((f - c) / w) ** 2)
     return np.fft.irfft(X, len(x))
 
 
-def _hum(x, s, rng):  # mains hum + harmonic
+def _hum(x, s, rng):  # mains hum + 3 harmonics
     t = np.arange(len(x)) / SR
-    a = 0.035 * s
-    return x + a * np.sin(2 * np.pi * 50 * t) + 0.5 * a * np.sin(2 * np.pi * 150 * t)
+    a = 0.35 * s
+    y = x.copy()
+    for k, g in ((1, 1.0), (3, 0.6), (5, 0.35)):
+        y = y + a * g * np.sin(2 * np.pi * 50 * k * t + rng.uniform(0, 6.28))
+    return y
 
 
-def _smear(x, s, rng):  # pre-echo / reverb-ish exponential tail
-    k = int(16 + 240 * s)
-    h = np.exp(-np.arange(k) / (4 + 60 * s))
+def _smear(x, s, rng):  # reverb tail + a discrete echo at a fixed delay
+    k = int(64 + 640 * s)
+    h = np.exp(-np.arange(k) / (16 + 200 * s))
     h /= h.sum()
     y = np.convolve(x, h)[: len(x)]
-    m = 0.2 + 0.35 * s
-    return (1.0 - m) * x + m * y
+    d = int(0.025 * SR)  # 25 ms slapback echo: comb ripple at 40 Hz spacing
+    e = np.concatenate([np.zeros(d), x[:-d]])
+    m = 0.4 + 0.55 * s
+    z = (1.0 - m) * x + m * (0.55 * y + 0.45 * e)
+    # reverberant recordings also muffle: high-shelf cut above ~3.5 kHz
+    Z = np.fft.rfft(z)
+    f = np.fft.rfftfreq(len(z), 1 / SR)
+    Z[f > 3500] *= 1.0 - (0.3 + 0.5 * s)
+    return np.fft.irfft(Z, len(z))
 
 
-def _phase_rand(x, s, rng):  # partial phase randomization above ~2 kHz
+def _phase_rand(x, s, rng):  # broadband phase scramble (envelope collapse)
     X = np.fft.rfft(x)
     f = np.fft.rfftfreq(len(x), 1 / SR)
-    m = f > rng.uniform(1500, 3500)
-    X[m] *= np.exp(1j * s * rng.uniform(-np.pi, np.pi, m.sum()) * 0.9)
+    m = f > 400.0
+    X[m] *= np.exp(1j * min(1.0, 1.4 * s) * rng.uniform(-np.pi, np.pi, m.sum()))
     return np.fft.irfft(X, len(x))
 
 
@@ -104,13 +131,15 @@ def _hiss(x, s, rng):  # band-passed noise floor
     W[(f < 1500) | (f > 6000)] = 0
     w = np.fft.irfft(W, len(x))
     w /= np.abs(w).max() + 1e-9
-    return x + 0.05 * s * w
+    return x + 0.15 * s * w
 
 
-def _pitch_warp(x, s, rng):  # tiny constant resampling (pitch/timing drift)
-    r = 1.0 + s * rng.choice([-1, 1]) * 0.012
-    idx = np.clip(np.arange(len(x)) * r, 0, len(x) - 1)
-    return np.interp(idx, np.arange(len(x)), x)
+def _pitch_warp(x, s, rng):  # vibrato: sinusoidal time-varying resampling
+    t = np.arange(len(x))
+    rate = 5.5 * rng.uniform(0.9, 1.1)  # Hz, consistent warble rate
+    dev = 0.06 * s * SR / (2 * np.pi * rate)
+    idx = np.clip(t + dev * np.sin(2 * np.pi * rate * t / SR), 0, len(x) - 1)
+    return np.interp(idx, t, x)
 
 
 _HARD_ATTACKS = {  # A07..A19 -> per-attack signature
@@ -131,29 +160,44 @@ _HARD_ATTACKS = {  # A07..A19 -> per-attack signature
 
 
 def _bonafide_hard(rng: np.random.RandomState, n: int) -> np.ndarray:
-    """Bonafide with recording-style nuisance artifacts (class overlap)."""
+    """Bonafide with recording-style nuisance artifacts (class overlap).
+
+    Nuisance depths are FIXED absolute values, decoupled from the spoof
+    transform coefficients — v1/v2 reused the (then-shallow) spoof
+    transforms at a scaled strength, which meant every deepening of the
+    spoof signatures deepened the bonafide artifacts proportionally and the
+    class overlap never shrank (the v1->v2 calibration treadmill).
+    """
     x = _bonafide(rng, n)
-    # nuisance strengths stay BELOW the spoof draw's 0.25 floor so the
-    # class boundary is noisy but real (v2, see _spoof_hard)
+    t = np.arange(n) / SR
     if rng.rand() < 0.3:  # some genuine recordings are slightly clipped
-        x = _soft_clip(x, rng.uniform(0.0, 0.2))
-    if rng.rand() < 0.3:  # or carry a faint noise floor / hum
-        x = _hiss(x, rng.uniform(0.0, 0.2), rng)
-    if rng.rand() < 0.2:
-        x = _hum(x, rng.uniform(0.0, 0.2), rng)
+        d = rng.uniform(1.0, 2.2)
+        x = np.tanh(x * d) / np.tanh(d)
+    if rng.rand() < 0.3:  # or carry a faint broadband noise floor
+        x = x + rng.uniform(0.0, 0.008) * rng.randn(n)
+    if rng.rand() < 0.2:  # or a faint 50 Hz hum
+        x = x + rng.uniform(0.0, 0.008) * np.sin(2 * np.pi * 50 * t)
     return x
 
 
 def _spoof_hard(rng: np.random.RandomState, n: int, attack: int) -> np.ndarray:
-    """Per-attack subtle signature at an overlapping strength draw."""
+    """Per-attack signature at an overlapping strength draw (v3).
+
+    The floor keeps the weak end learnable (v1's 0.08 floor buried it under
+    the training augmentation); composite attacks 16-19 scale component
+    strengths by 0.6-0.7x, so their draw floor is raised to 0.5 to keep the
+    effective component strength (>=0.3) well above the bonafide nuisance
+    depths — the round-4 advisor flagged the v2 floor as partially breaking
+    that invariant.
+    """
     x = _bonafide_hard(rng, n)
-    # v2 strengths: the v1 draw (0.08..0.8 over shallower transforms) left
-    # the class boundary UNDER the RawBoost/codec augmentation noise floor —
-    # the flagship sat at ~47-49% dev EER for 9 epochs (too hard is as
-    # useless as too easy).  The floor keeps the weak end learnable; the
-    # transforms above are deep enough to survive augmentation.
-    s = rng.uniform(0.25, 0.95)
+    s = rng.uniform(0.5, 1.0) if attack >= 16 else rng.uniform(0.35, 1.0)
     y = _HARD_ATTACKS[attack](x, s, rng)
+    # shared vocoder floor: like real TTS/VC systems, every attack carries a
+    # weak common artifact family (noise floor + requantization) on top of
+    # its own signature, so no attack is *purely* its per-attack transform
+    y = _hiss(y, 0.25 * s, rng)
+    y = _quant(y, 0.3 * s)
     return 0.3 * y / (np.abs(y).max() + 1e-9)
 
 
