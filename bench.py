@@ -1,34 +1,46 @@
-"""Benchmark: flagship-model scoring + training throughput (utt/sec/chip).
+"""Benchmark: flagship-model training + scoring throughput (utt/sec/chip).
 
 Timeout-safe by construction (round-3 lesson: the driver run hit rc=124 and
 recorded NOTHING because the old version printed a single JSON line only at
-the very end).  This version:
+the very end).  Round-5 lesson: measure the TRAIN step FIRST — it is the
+long pole (compile measured 195-341 s vs 52 s for inference through the
+relay), and rounds 3 and 4 both lost the official training number because
+inference was measured first and the train compile ran out the deadline
+(`BENCH_r04.json`: train compile finished at t=474 s of a 520 s budget,
+warm-up still in flight at the watchdog).
 
-1. prints the inference JSON record THE MOMENT it is measured (the driver
-   parses the LAST parseable line, so a later combined record supersedes it);
-2. hides all LOCAL training-bench setup (Experiment build, state transfers,
-   train-step tracing) under the inference compile's remote wait — compile
-   latency through the TPU relay is weather-dependent (measured 56-341 s for
-   the SAME graph on one day) and is pure server-side queueing.  Device
-   EXECUTION never overlaps an in-flight compile: measured round 4, an
-   execute issued while another graph compiles hangs the relay client
-   (stuck >380 s on a 3 s warmup, and the forced exit then wedged the relay
-   for ~30 min).  So: trace everything early, compile strictly one at a
-   time, measure only between compiles;
-3. runs a daemon watchdog that, at ``RADE_BENCH_DEADLINE_S`` (default 520 s)
-   after process start, prints the best record measured so far and hard-exits
-   0 — so even a hung relay compile cannot lose the round's numbers;
-4. logs stage-timestamped progress to stderr so any future rc=124 is
-   diagnosable from the tail.
+Mechanisms:
+
+1. TRAIN-FIRST ordering: build + trace + compile + measure the train step
+   before anything touches the inference path; a relay stall later can only
+   cost the inference record, never the train one;
+2. provisional 1-iteration records (marked ``"provisional": true`` so
+   by-name consumers can't confuse them with the refined n-iter numbers —
+   round-4 advisor) the moment ANY timed execute completes, for both
+   benches: a cold execute can stall for minutes on relay weather, so the
+   first completed iteration is immediately durable;
+3. every record emitted after the train measure carries
+   ``train_utt_per_sec_per_chip``, so whichever line is last parsed, the
+   training number survives;
+4. a daemon watchdog that, at ``RADE_BENCH_DEADLINE_S`` (default 520 s)
+   after process start, prints the best record measured so far and
+   hard-exits 0 — so even a hung relay compile cannot lose the round;
+5. stage-timestamped stderr progress so any future rc=124 is diagnosable
+   from the tail;
+6. relay discipline (measured round 4): trace everything early, ONE remote
+   compile in flight at a time, device execution only between compiles —
+   overlapping an execute with an in-flight compile hangs the client and a
+   forced exit then wedges the relay for ~30 min.
 
 Output: one JSON object per line; the last line is the most complete.
 
-Baselines (BASELINE.md): inference ~40 ms/sample at batch 32 on a V100
-(`/root/reference/README.md:99-105`) = 25 utt/s; training 14-28 utt/s on an
-RTX 4090D with FGM (15-30 min/epoch over 25,380 utts,
-`/root/reference/docs/README_TRAINING.md:55-58`) — midpoint 21 utt/s.  Both
-measured on the jit'd step, real hardware, 64600-sample utterances, the
-shipped Phase6_TPU.conf recipe (LoRA adapters live in BOTH benches, like the
+Baselines (BASELINE.md): training 14-28 utt/s on an RTX 4090D with FGM
+(15-30 min/epoch over 25,380 utts,
+`/root/reference/docs/README_TRAINING.md:55-58`) — midpoint 21 utt/s;
+inference ~40 ms/sample at batch 32 on a V100
+(`/root/reference/README.md:99-105`) = 25 utt/s.  Both measured on the
+jit'd step, real hardware, 64600-sample utterances, the shipped
+Phase6_TPU.conf recipe (LoRA adapters live in BOTH benches, like the
 reference's Phase-6 eval path).
 """
 
@@ -132,17 +144,14 @@ def main() -> None:
     if x.shape[0] != target_bs:
         x = jax.numpy.tile(x, (max(1, target_bs // x.shape[0]), 1))[:target_bs]
     batch = x.shape[0]
-    _log("inference: tracing forward (bs=32), then remote compile")
-    job_inf = _CompileJob("inference", jax.jit(forward).lower(variables, x))
-    job_inf.start()
 
-    # --- LOCAL train-bench setup rides under the inference compile's remote
-    # wait: Experiment build, state transfers, and train-step tracing are
-    # client-side (transfers during a compile are safe — measured; device
-    # EXECUTION during a compile is not) ---
+    # Fields shared by every record from here on; train fields are merged in
+    # as soon as they are measured so ANY later line carries them.
+    shared: dict = {}
+
+    # --- TRAIN bench first: build, trace (local), compile (remote) ---
     lowered_train = None
-    record_extra: dict = {}
-    exp = state = xs = ys = ws = None
+    state = xs = ys = ws = None
     if not os.environ.get("RADE_BENCH_SKIP_TRAIN"):
         try:
             import jax.numpy as jnp
@@ -151,14 +160,14 @@ def main() -> None:
 
             _log("train: building experiment (shipped Phase6_TPU.conf)")
             cfg = ge._phase6_cfg(tiny=False)
-            # reuse the inference bench's shape-materialized variables:
-            # throughput is init-value independent, and the real init costs
-            # ~330 s of relay compile (round-3's rc=124 root cause)
+            # reuse the entry() shape-materialized variables: throughput is
+            # init-value independent, and the real init costs ~330 s of
+            # relay compile (round-3's rc=124 root cause)
             exp = Experiment(
                 cfg, seed=0, fast_init=True, init_variables=variables
             )
             state = exp.setup_training(steps_per_epoch=100)
-            record_extra["t_train_setup_s"] = round(_elapsed(), 1)
+            shared["t_train_setup_s"] = round(_elapsed(), 1)
             accum = max(1, cfg.training.accumulation_steps)
             micro_bs = cfg.batch_size
             T = int(cfg.model_config.get("nb_samp", 64600))
@@ -172,41 +181,119 @@ def main() -> None:
             ws = jnp.ones((accum,), jnp.float32)
             _log("train: state ready; tracing step (local)")
             lowered_train = exp.train_step.lower(state, xs, ys, ws)
-            record_extra["t_train_trace_s"] = round(_elapsed(), 1)
-            _log("train: traced; waiting for the inference compile")
+            shared["t_train_trace_s"] = round(_elapsed(), 1)
         except Exception as e:
-            record_extra["train_bench_error"] = type(e).__name__
+            shared["train_bench_error"] = type(e).__name__
             _log(f"train: setup FAILED with {type(e).__name__}: {e}")
 
-    # --- inference measurement (no other RPC in flight) ---
+    job_train = None
+    if lowered_train is not None:
+        _log("train: compiling step (remote)")
+        job_train = _CompileJob("train", lowered_train)
+        job_train.start()
+
+    # inference tracing is LOCAL — it rides under the train compile's
+    # remote wait (transfers/tracing during a compile are safe; device
+    # EXECUTION is not)
+    _log("inference: tracing forward (bs=32) under the train compile")
+    lowered_inf = jax.jit(forward).lower(variables, x)
+
+    def _train_record(ups: float, n: int, provisional=False) -> dict:
+        rec = {
+            "metric": "train_throughput_utt_per_sec_per_chip",
+            "value": round(ups, 2),
+            "unit": f"utt/s/chip (Phase-6 FGM step, bs={xs.shape[1]}"
+                    f"x{xs.shape[0]} accum, n={n})",
+            "vs_baseline": round(ups / REFERENCE_TRAIN_UTT_PER_SEC, 3),
+            **shared,
+        }
+        if provisional:
+            rec["provisional"] = True
+        return rec
+
+    # --- train: measure (only RPC in flight) ---
+    if job_train is not None:
+        job_train.join()
+        if job_train.error is not None:
+            shared["train_bench_error"] = type(job_train.error).__name__
+            _log(f"train: compile FAILED: {job_train.error}")
+        else:
+            shared["t_train_compile_s"] = round(job_train.seconds, 1)
+            step = job_train.compiled
+            _log(f"train: compiled in {job_train.seconds:.1f}s; "
+                 "warming + measuring")
+            try:
+                # warmup — np.asarray is a hard fence (device->host
+                # readback); block_until_ready only acks enqueue on the
+                # axon relay.  A cold execute can stall minutes, so the
+                # FIRST timed step is emitted provisionally the moment it
+                # completes.
+                state, metrics = step(state, xs, ys, ws)
+                np.asarray(metrics["loss"])
+                micro_bs, accum = xs.shape[1], xs.shape[0]
+                t0 = time.perf_counter()
+                state, metrics = step(state, xs, ys, ws)
+                np.asarray(metrics["loss"])
+                dt1 = time.perf_counter() - t0
+                ups1 = micro_bs * accum / dt1
+                shared["train_utt_per_sec_per_chip"] = round(ups1, 2)
+                shared["train_vs_baseline"] = round(
+                    ups1 / REFERENCE_TRAIN_UTT_PER_SEC, 3
+                )
+                shared["train_ms_per_step"] = round(dt1 * 1e3, 1)
+                _emit(_train_record(ups1, 1, provisional=True))
+                _log(f"train: provisional {ups1:.2f} utt/s (1 iter)")
+
+                n = 8 if _remaining() > 120 else 3
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    state, metrics = step(state, xs, ys, ws)
+                np.asarray(metrics["loss"])  # fence
+                dt = (time.perf_counter() - t0) / n
+                ups = micro_bs * accum / dt
+                shared["train_utt_per_sec_per_chip"] = round(ups, 2)
+                shared["train_vs_baseline"] = round(
+                    ups / REFERENCE_TRAIN_UTT_PER_SEC, 3
+                )
+                shared["train_ms_per_step"] = round(dt * 1e3, 1)
+                _emit(_train_record(ups, n))
+                _log(f"train: {dt * 1e3:.1f} ms/step = {ups:.2f} utt/s/chip "
+                     f"(n={n}) — record emitted")
+            except Exception as e:  # OOM etc. must not lose the round
+                shared["train_bench_error"] = type(e).__name__
+                _log(f"train: measure FAILED with {type(e).__name__}: {e}")
+        # free the train state before the inference bench
+        state = xs = ys = ws = None
+
+    # --- inference: compile (only RPC in flight), then measure ---
+    _log("inference: compiling forward (remote)")
+    job_inf = _CompileJob("inference", lowered_inf)
+    job_inf.start()
     job_inf.join()
     if job_inf.error is not None:
         raise job_inf.error
     fwd = job_inf.compiled
+    shared["t_infer_compile_s"] = round(job_inf.seconds, 1)
     _log(f"inference: compiled in {job_inf.seconds:.1f}s; warming + measuring")
-    # warmup — np.asarray is a hard fence (device->host readback); on the
-    # axon relay, block_until_ready acks enqueue rather than completion.
-    # NOTE a cold execute can stall for minutes on relay weather (measured:
-    # a warmup issued with NO other RPC in flight hung 335+ s), so emit a
-    # provisional single-iteration record the moment ANY timed execute
-    # completes — the refined 20-iter record supersedes it.
-    np.asarray(fwd(variables, x))
-    _log("inference: warm; measuring")
 
-    def _infer_record(utt_per_sec: float, n: int) -> dict:
-        return {
+    def _infer_record(utt_per_sec: float, n: int, provisional=False) -> dict:
+        rec = {
             "metric": "inference_throughput_utt_per_sec_per_chip",
             "value": round(utt_per_sec, 2),
             "unit": f"utt/s/chip (bs={batch}, 64600 samples, n={n})",
             "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 3),
-            "t_infer_compile_s": round(job_inf.seconds, 1),
-            **record_extra,
+            **shared,
         }
+        if provisional:
+            rec["provisional"] = True
+        return rec
 
+    np.asarray(fwd(variables, x))  # warmup (cold execute can stall)
+    _log("inference: warm; measuring")
     t0 = time.perf_counter()
     np.asarray(fwd(variables, x))  # one fenced iter -> provisional record
     dt1 = time.perf_counter() - t0
-    _emit(_infer_record(batch / dt1, 1))
+    _emit(_infer_record(batch / dt1, 1, provisional=True))
     _log(f"inference: provisional {batch / dt1:.2f} utt/s (1 iter)")
 
     n_iters = 20
@@ -218,40 +305,10 @@ def main() -> None:
 
     utt_per_sec = n_iters * batch / dt
     record = _infer_record(utt_per_sec, n_iters)
-    # print the refined record IMMEDIATELY — the record is now un-losable
+    record["t_total_s"] = round(_elapsed(), 1)
     _emit(record)
-    _log(f"inference: {utt_per_sec:.2f} utt/s/chip — record emitted")
+    _log(f"inference: {utt_per_sec:.2f} utt/s/chip — final record emitted")
 
-    # --- train: compile (only RPC in flight), then measure ---
-    if lowered_train is not None:
-        try:
-            t_c = time.monotonic()
-            _log("train: compiling step (remote)")
-            step = lowered_train.compile()
-            record["t_train_compile_s"] = round(time.monotonic() - t_c, 1)
-            _log(f"train: compiled in {record['t_train_compile_s']}s; "
-                 "warming + measuring")
-            state, metrics = step(state, xs, ys, ws)  # warmup (donates state)
-            np.asarray(metrics["loss"])
-            n = 8 if _remaining() > 30 else 3
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, metrics = step(state, xs, ys, ws)
-            np.asarray(metrics["loss"])  # fence
-            dt = (time.perf_counter() - t0) / n
-            micro_bs, accum = xs.shape[1], xs.shape[0]
-            ups = micro_bs * accum / dt
-            record["train_utt_per_sec_per_chip"] = round(ups, 2)
-            record["train_vs_baseline"] = round(
-                ups / REFERENCE_TRAIN_UTT_PER_SEC, 3
-            )
-            record["train_ms_per_step"] = round(dt * 1e3, 1)
-            _log(f"train: {dt * 1e3:.1f} ms/step = {ups:.2f} utt/s/chip (n={n})")
-        except Exception as e:  # OOM / compile failure must not lose the record
-            record["train_bench_error"] = type(e).__name__
-            _log(f"train: FAILED with {type(e).__name__}: {e}")
-        record["t_total_s"] = round(_elapsed(), 1)
-        _emit(record)
     with _lock:
         _done = True
     _log("done")
