@@ -935,6 +935,13 @@ def run_training(
 
     asv_path = cfg.asv_score_path
     best_dev_eer, best_eval_eer, best_eval_tdcf = 100.0, 100.0, 1.0
+    # eval numbers at the most recent new-best-DEV epoch: reported in the
+    # final metric_log line alongside SWA, mirroring the reference's dual
+    # best.pth/swa.pth reporting (`src/main.py:602-687`) — on a
+    # still-improving trajectory SWA averages toward early weights and
+    # summarizing the run by SWA alone misrepresents it (round-4 verdict:
+    # AnchorHard v2 ended `swa_eval_eer=56.6` vs best dev 42.1)
+    best_epoch_eval: Dict[str, Any] = {}
     history = []
 
     for epoch in range(start_epoch, cfg.num_epochs):
@@ -986,6 +993,11 @@ def run_training(
                 if eval_tdcf < best_eval_tdcf:
                     best_eval_tdcf, best_eval_eer = eval_tdcf, eval_eer
                     weights.save_named(exp.state, "best")
+                best_epoch_eval = {
+                    "epoch": epoch,
+                    "eval_eer": eval_eer,
+                    "eval_eer_compressed": eval_eer_cmp,
+                }
             # SWA snapshot on every new-best epoch (reference `main.py:643-645`);
             # jitted: one fused kernel instead of ~10^3 eager per-leaf dispatches
             if cfg.training.use_swa:
@@ -1029,6 +1041,7 @@ def run_training(
             log_fn(f"  diag per-attack EER: {worst}")
 
     # final: SWA swap + BN update + eval (reference `main.py:671-687`)
+    final_bits = []
     if (
         cfg.training.use_swa
         and exp.state.swa_params is not None
@@ -1046,6 +1059,7 @@ def run_training(
             str(final_score), asv_path, str(metrics_dir / "t-DCF_EER_swa.txt"), printout=False
         )
         log_fn(f"SWA eval_eer {swa_eer:.3f}% eval_tdcf {swa_tdcf:.5f}")
+        final_bits.append(f"swa_eval_eer={swa_eer:.4f}")
         if evl_cmp is not None:
             cmp_final = run_dir / ("swa_compressed_" + cfg.eval_output)
             exp.score_split(evl_cmp, eval_proto, cmp_final, use_ema=False)
@@ -1057,11 +1071,23 @@ def run_training(
                 f"SWA compressed eval_eer {swa_eer_c:.3f}% "
                 f"eval_tdcf {swa_tdcf_c:.5f}"
             )
-            metric_log.write(
-                f"final: swa_eval_eer={swa_eer:.4f} "
-                f"swa_eval_eer_compressed={swa_eer_c:.4f}\n"
+            final_bits.append(f"swa_eval_eer_compressed={swa_eer_c:.4f}")
+    # best-epoch numbers ALWAYS accompany the SWA summary (reference's dual
+    # best.pth/swa.pth reporting): on a still-improving run SWA lags best
+    final_bits.append(f"best_dev_eer={best_dev_eer:.4f}")
+    if best_epoch_eval:
+        final_bits.append(f"best_epoch={best_epoch_eval['epoch']}")
+        if best_epoch_eval.get("eval_eer") is not None:
+            final_bits.append(
+                f"best_epoch_eval_eer={best_epoch_eval['eval_eer']:.4f}"
             )
-            metric_log.flush()
+        if best_epoch_eval.get("eval_eer_compressed") is not None:
+            final_bits.append(
+                "best_epoch_eval_eer_compressed="
+                f"{best_epoch_eval['eval_eer_compressed']:.4f}"
+            )
+    metric_log.write("final: " + " ".join(final_bits) + "\n")
+    metric_log.flush()
 
     # optional cross-domain 2021-DF auto-eval (reference `main.py:698-796`,
     # which calls a module the reference ships without)

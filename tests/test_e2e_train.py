@@ -90,6 +90,10 @@ def test_training_artifacts(run_summary):
     run_dir = out_dir / "LA_tiny_ep1_bs8"
     assert (run_dir / "config.conf").exists()
     assert (run_dir / "metric_log.txt").exists()
+    # the run always ends with a "final:" summary line carrying best-epoch
+    # numbers (and SWA numbers when SWA ran) — round-4 verdict item 7
+    last = (run_dir / "metric_log.txt").read_text().strip().splitlines()[-1]
+    assert last.startswith("final: ") and "best_dev_eer=" in last
     weights = list((run_dir / "weights").glob("*.ckpt"))
     assert weights  # best + periodic checkpoints saved
     # dev score file format: utt src key score

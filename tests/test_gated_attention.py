@@ -133,6 +133,48 @@ def test_bf16_inputs_close_to_f32_reference():
     )
 
 
+def test_bf16_grads_match_bf16_reference():
+    """bf16 fwd + all five cotangents vs the unfused bf16 reference.
+
+    The kernel's bf16 cast points (p.astype(v.dtype) in the forward, the
+    dsl/dpad casts in the backward) previously had no CPU coverage — the
+    f32 suite never exercised them and only the TPU-side check script did
+    (round-4 advisor).  Run both implementations on bf16 inputs and compare
+    at bf16-appropriate tolerances.
+    """
+    q, k, v, gate, bias = _inputs(B=2, H=2, L=40)
+    qb, kb, vb, gb, bb = (
+        t.astype(jnp.bfloat16) for t in (q, k, v, gate, bias)
+    )
+    probe = jnp.asarray(
+        np.random.RandomState(9).randn(*q.shape).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def loss_k(q, k, v, gate, bias):
+        out = ga.gated_attention(q, k, v, gate, bias, seed=0)
+        return jnp.sum(out.astype(jnp.float32) * probe.astype(jnp.float32))
+
+    def loss_r(q, k, v, gate, bias):
+        out = ga.reference_gated_attention(q, k, v, gate, bias)
+        return jnp.sum(out.astype(jnp.float32) * probe.astype(jnp.float32))
+
+    outk = ga.gated_attention(qb, kb, vb, gb, bb, seed=0)
+    outr = ga.reference_gated_attention(qb, kb, vb, gb, bb)
+    assert outk.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(outk, np.float32), np.asarray(outr, np.float32), atol=0.05
+    )
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(qb, kb, vb, gb, bb)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(qb, kb, vb, gb, bb)
+    for a, b, name in zip(gk, gr, ["dq", "dk", "dv", "dgate", "dbias"]):
+        assert a.dtype == b.dtype == jnp.bfloat16, name
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # bf16 rounding differs between the fused and unfused orderings;
+        # compare at a scale-aware tolerance
+        tol = 0.05 * max(1.0, float(np.abs(b32).max()))
+        np.testing.assert_allclose(a32, b32, atol=tol, err_msg=name)
+
+
 def test_eval_train_false_ignores_dropout_p():
     q, k, v, gate, bias = _inputs()
     a = ga.gated_attention(q, k, v, gate, bias, seed=5, dropout_p=0.4,
