@@ -51,6 +51,13 @@ def main(micro_bs: int = 16, accum: int = 2, flags: str = ""):
         cfg.model_config["use_pallas_resblock_training"] = True
     if "gatedattn" in flags:
         cfg.model_config["wavlm_fused_gated_attention"] = True
+    if "freeze12" in flags:
+        # bottom-12 WavLM layers frozen: the reference's Phase-5/6 fast
+        # recipe (`/root/reference/src/models/DualStreamSEMamba.py:338-370`)
+        cfg.model_config["wavlm_freeze_layers"] = 12
+    elif "freeze18" in flags:
+        # bottom-18 frozen: the reference's Phase-4 recipe
+        cfg.model_config["wavlm_freeze_layers"] = 18
     print(f"flags={flags!r}", flush=True)
     exp = Experiment(cfg, seed=0, fast_init=True)
     state = exp.setup_training(steps_per_epoch=100)
