@@ -1,34 +1,55 @@
-"""Hard-mode synthetic anchor data (non-saturating class boundary).
+"""Hard-mode synthetic anchor data (non-saturating, proxy-calibrated).
 
 Round-3 verdict: the easy generator's anchor saturates (0.1% dev EER by
-epoch 28), so recipe regressions stop moving the number.  Hard mode gives
-each attack id A07-A19 a SUBTLE signature with strength draws that overlap
-"almost clean", and adds nuisance artifacts to bonafide.
+epoch 28), so recipe regressions stop moving the number.  Rounds 4-5: too
+SUBTLE is as useless as too easy (v1/v2 plateaued at 43.5/42.1% dev EER —
+near-chance).  The v3 contract these tests encode (see the calibration
+notes in tools/synth_dataset.py and benchmarks/anchor_proxy.py):
+
+- every attack signature is ACTIVE at the draw floor and deepens with s
+  (v1's low end was indistinguishable from clean under augmentation);
+- the hard task stays separable but much harder than the easy task, with
+  a linear-proxy EER between the two — the knob that aims the flagship
+  anchor at the 5-15% dev-EER band.
 """
+
+import sys
+from pathlib import Path
 
 import numpy as np
 
 from rade_tpu.tools import synth_dataset as sd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+
+
+def _norm(x):
+    return 0.3 * x / (np.abs(x).max() + 1e-9)
 
 
 def test_hard_attack_table_covers_a07_to_a19():
     assert sorted(sd._HARD_ATTACKS) == list(range(7, 20))
 
 
-def test_signatures_are_subtle_at_low_strength_and_active_at_high():
-    rng = np.random.RandomState(0)
+def test_signatures_active_at_floor_and_deepen_with_strength():
     x = sd._bonafide(np.random.RandomState(1), 16000)
     for aid, fn in sd._HARD_ATTACKS.items():
-        lo = fn(x.copy(), 0.05, np.random.RandomState(2))
-        hi = fn(x.copy(), 0.9, np.random.RandomState(2))
-        rel_lo = np.linalg.norm(lo - x) / np.linalg.norm(x)
-        rel_hi = np.linalg.norm(hi - x) / np.linalg.norm(x)
+        # compare at the dataset's operating points: the non-composite draw
+        # floor (0.35) and the top (1.0), both peak-normalized like
+        # _spoof_hard's output
+        lo = _norm(fn(x.copy(), 0.35, np.random.RandomState(2)))
+        hi = _norm(fn(x.copy(), 1.0, np.random.RandomState(2)))
+        xn = _norm(x)
+        rel_lo = np.linalg.norm(lo - xn) / np.linalg.norm(xn)
+        rel_hi = np.linalg.norm(hi - xn) / np.linalg.norm(xn)
         assert lo.shape == x.shape == hi.shape
-        # low strength: close to clean; high strength: measurably different
-        assert rel_lo < 0.6, (aid, rel_lo)
-        assert rel_hi > rel_lo * 0.99, (aid, rel_lo, rel_hi)
-        assert rel_hi > 1e-3, (aid, rel_hi)
-        assert np.isfinite(hi).all()
+        assert np.isfinite(hi).all() and np.isfinite(lo).all()
+        # active at the floor: the weak end must not be clean-equivalent
+        # (v1 regression: sub-noise-floor signatures were unlearnable)
+        assert rel_lo > 5e-3, (aid, rel_lo)
+        # strength deepens the signature (loose monotonicity — some
+        # transforms saturate, none may invert)
+        assert rel_hi > rel_lo * 0.6, (aid, rel_lo, rel_hi)
 
 
 def test_spoof_hard_is_normalized_and_deterministic():
@@ -51,25 +72,22 @@ def test_generate_hard_layout(tmp_path):
     assert len(wavs) == 8
 
 
-def test_hard_classes_overlap_more_than_easy():
-    """The hard task's spoof/bonafide high-band energy gap must be much
-    smaller than the easy task's (the quantization+hard-AM signature is
-    glaring above 4 kHz)."""
+def test_proxy_eer_ordering_easy_lt_hard_lt_chance():
+    """The calibration contract itself: the linear proxy separates the easy
+    task near-perfectly, finds the hard task separable-but-hard, and
+    neither collapses to chance.  This is the invariant that keeps future
+    signature edits from silently de-calibrating the anchor (the v1/v2
+    failure mode)."""
+    import anchor_proxy as ap
 
-    def highband_frac(x):
-        S = np.abs(np.fft.rfft(x)) ** 2
-        return S[len(S) // 2 :].sum() / (S.sum() + 1e-12)
-
-    rng = np.random.RandomState(0)
-    n = 16000
-    easy_gap, hard_gap = [], []
-    for i in range(24):
-        eb = highband_frac(sd._bonafide(np.random.RandomState(100 + i), n))
-        es = highband_frac(sd._spoof(np.random.RandomState(100 + i), n))
-        hb = highband_frac(sd._bonafide_hard(np.random.RandomState(200 + i), n))
-        hs = highband_frac(
-            sd._spoof_hard(np.random.RandomState(200 + i), n, 7 + i % 13)
-        )
-        easy_gap.append(es - eb)
-        hard_gap.append(hs - hb)
-    assert abs(np.mean(hard_gap)) < 0.5 * abs(np.mean(easy_gap))
+    n = 120
+    easy_tr = ap.corpus_mem(n, 0, "easy")
+    easy_de = ap.corpus_mem(n, 1, "easy")
+    hard_tr = ap.corpus_mem(n, 0, "hard")
+    hard_de = ap.corpus_mem(n, 1, "hard")
+    easy_eer, _ = ap.proxy_eer(easy_tr, easy_de, seed=0, aug_reps=1)
+    hard_eer, _ = ap.proxy_eer(hard_tr, hard_de, seed=0, aug_reps=1)
+    assert easy_eer < 5.0, easy_eer
+    # wide bounds (n=120 is noisy): the hard task must be clearly harder
+    # than easy yet clearly better than chance
+    assert easy_eer + 1.0 < hard_eer < 35.0, (easy_eer, hard_eer)
