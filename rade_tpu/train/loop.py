@@ -1028,6 +1028,17 @@ def run_training(
         if ckpt_every and epoch % ckpt_every == 0:
             weights.save_periodic(exp.state, epoch)
 
+        # graceful early stop: touch <run_dir>/STOP and the run concludes at
+        # the next epoch boundary WITH the full final phase (SWA swap + BN
+        # update + eval + final metric_log line + 2021-DF auto-eval) — the
+        # reference can only be killed, losing its end-of-run artifacts; on
+        # this hardware a hard kill additionally wedges the TPU relay
+        if (run_dir / "STOP").exists():
+            log_fn(f"STOP file found at epoch {epoch} — concluding run early")
+            metric_log.write(f"stopped_early: epoch={epoch}\n")
+            metric_log.flush()
+            break
+
         # optional per-attack diagnostics on the full eval set
         # (reference `main.py:577-600`, eval_diag_interval)
         diag = cfg.training.eval_diag_interval

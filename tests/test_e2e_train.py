@@ -162,3 +162,31 @@ def test_checkpoint_roundtrip(run_summary):
 
     with pytest.raises(ValueError, match="scoring weights"):
         restore_state(best_ckpts[0], state)
+
+
+def test_graceful_stop_file_concludes_run_early(tmp_path_factory):
+    """Touching <run_dir>/STOP ends the run at the next epoch boundary but
+    still produces the full final phase (final metric_log line)."""
+    root = generate(str(tmp_path_factory.mktemp("la2")), n_per_split=16, seed=7)
+    conf = dict(TINY_CONF)
+    conf["database_path"] = str(root) + "/"
+    conf["asv_score_path"] = str(
+        root / "ASVspoof2019.LA.asv.eval.gi.trl.scores.txt"
+    )
+    conf["num_epochs"] = 3
+    cfg = ExperimentConfig.from_dict(conf)
+    out_dir = tmp_path_factory.mktemp("exp2")
+    run_dir = out_dir / "LA_tiny_ep3_bs8"
+    run_dir.mkdir(parents=True)
+    (run_dir / "STOP").touch()
+
+    from rade_tpu.train.loop import run_training
+
+    summary = run_training(
+        cfg, database_path=cfg.database_path, output_dir=str(out_dir),
+        config_path="tiny.conf", seed=5, log_fn=lambda *a: None,
+    )
+    assert len(summary["history"]) == 1  # stopped after the first epoch
+    text = (run_dir / "metric_log.txt").read_text()
+    assert "stopped_early: epoch=0" in text
+    assert text.strip().splitlines()[-1].startswith("final: ")
