@@ -11,8 +11,10 @@ warm-up still in flight at the watchdog).
 
 Mechanisms:
 
-1. TRAIN-FIRST ordering: build + trace + compile + measure the train step
-   before anything touches the inference path; a relay stall later can only
+1. TRAIN-MEASURED-FIRST ordering: the inference graph is COMPILED first
+   (it is the short compile, 52-190 s vs 187-341 s, and all local
+   train-bench setup hides under its remote wait), but the train step is
+   the first thing EXECUTED and measured — a relay stall later can only
    cost the inference record, never the train one;
 2. provisional 1-iteration records (marked ``"provisional": true`` so
    by-name consumers can't confuse them with the refined n-iter numbers —
@@ -22,9 +24,10 @@ Mechanisms:
 3. every record emitted after the train measure carries
    ``train_utt_per_sec_per_chip``, so whichever line is last parsed, the
    training number survives;
-4. a daemon watchdog that, at ``RADE_BENCH_DEADLINE_S`` (default 520 s)
-   after process start, prints the best record measured so far and
-   hard-exits 0 — so even a hung relay compile cannot lose the round;
+4. a daemon watchdog that, at ``RADE_BENCH_DEADLINE_S`` (default 550 s,
+   inside the driver's ~600 s timeout) after process start, prints the
+   best record measured so far — or an honest null record carrying the
+   stage reached — and hard-exits 0;
 5. stage-timestamped stderr progress so any future rc=124 is diagnosable
    from the tail;
 6. relay discipline (measured round 4): trace everything early, ONE remote
@@ -53,7 +56,7 @@ import threading
 import time
 
 T0 = time.monotonic()
-DEADLINE_S = float(os.environ.get("RADE_BENCH_DEADLINE_S", "520"))
+DEADLINE_S = float(os.environ.get("RADE_BENCH_DEADLINE_S", "550"))
 
 REFERENCE_UTT_PER_SEC = 25.0  # V100, Phase-6, 40 ms/sample @ bs=32
 REFERENCE_TRAIN_UTT_PER_SEC = 21.0  # RTX 4090D, Phase-6 w/ FGM, midpoint
@@ -61,6 +64,15 @@ REFERENCE_TRAIN_UTT_PER_SEC = 21.0  # RTX 4090D, Phase-6 w/ FGM, midpoint
 _lock = threading.Lock()
 _best_record: dict | None = None  # last record printed; watchdog re-prints it
 _done = False
+_stage = ["start"]  # last stage reached, for the null diagnostic record
+_shared_ref: list = [{}]
+
+
+def _shared_view() -> dict:
+    try:
+        return dict(_shared_ref[0])
+    except Exception:
+        return {}
 
 
 def _elapsed() -> float:
@@ -94,6 +106,20 @@ def _watchdog() -> None:
             rec = dict(_best_record)
             rec["bench_deadline_hit"] = True
             print(json.dumps(rec), flush=True)
+        else:
+            # nothing measured: emit an honest null record carrying the
+            # stage timings so the driver artifact is diagnosable (the
+            # round-5 validation run died in a cold-execute stall during
+            # train warm-up and recorded NOTHING)
+            print(json.dumps({
+                "metric": "train_throughput_utt_per_sec_per_chip",
+                "value": None,
+                "unit": "utt/s/chip (NOT MEASURED - deadline hit)",
+                "vs_baseline": None,
+                "bench_deadline_hit": True,
+                "bench_stage": _stage[0],
+                **_shared_view(),
+            }), flush=True)
         print(
             f"[bench t={_elapsed():6.1f}s] DEADLINE ({DEADLINE_S}s) hit — "
             "emitted best-known record and exiting",
@@ -148,8 +174,19 @@ def main() -> None:
     # Fields shared by every record from here on; train fields are merged in
     # as soon as they are measured so ANY later line carries them.
     shared: dict = {}
+    _shared_ref[0] = shared
 
-    # --- TRAIN bench first: build, trace (local), compile (remote) ---
+    # --- inference COMPILE first (the short compile: 52-190 s vs 187-341 s
+    # for the train step), with ALL local train-bench setup riding under its
+    # remote wait; the train step is still the first thing EXECUTED and
+    # MEASURED (round-5 validation: serial setup (175 s of relay weather) +
+    # train compile left the warm-up only 86 s of budget) ---
+    _stage[0] = "tracing inference"
+    _log("inference: tracing forward (bs=32), then remote compile")
+    job_inf = _CompileJob("inference", jax.jit(forward).lower(variables, x))
+    job_inf.start()
+
+    # --- train bench: build + trace (local) under the inference compile ---
     lowered_train = None
     state = xs = ys = ws = None
     if not os.environ.get("RADE_BENCH_SKIP_TRAIN"):
@@ -186,17 +223,23 @@ def main() -> None:
             shared["train_bench_error"] = type(e).__name__
             _log(f"train: setup FAILED with {type(e).__name__}: {e}")
 
+    # one remote compile in flight at a time: wait out the inference
+    # compile, then compile the train step (its executable is NOT run yet —
+    # device execution never overlaps an in-flight compile)
+    _stage[0] = "waiting for inference compile"
+    job_inf.join()
+    if job_inf.error is not None:
+        shared["infer_bench_error"] = type(job_inf.error).__name__
+        _log(f"inference: compile FAILED: {job_inf.error}")
+    else:
+        shared["t_infer_compile_s"] = round(job_inf.seconds, 1)
+
     job_train = None
     if lowered_train is not None:
+        _stage[0] = "compiling train step"
         _log("train: compiling step (remote)")
         job_train = _CompileJob("train", lowered_train)
         job_train.start()
-
-    # inference tracing is LOCAL — it rides under the train compile's
-    # remote wait (transfers/tracing during a compile are safe; device
-    # EXECUTION is not)
-    _log("inference: tracing forward (bs=32) under the train compile")
-    lowered_inf = jax.jit(forward).lower(variables, x)
 
     def _train_record(ups: float, n: int, provisional=False) -> dict:
         rec = {
@@ -222,6 +265,7 @@ def main() -> None:
             step = job_train.compiled
             _log(f"train: compiled in {job_train.seconds:.1f}s; "
                  "warming + measuring")
+            _stage[0] = "train warm-up (cold execute)"
             try:
                 # warmup — np.asarray is a hard fence (device->host
                 # readback); block_until_ready only acks enqueue on the
@@ -257,6 +301,7 @@ def main() -> None:
                 )
                 shared["train_ms_per_step"] = round(dt * 1e3, 1)
                 _emit(_train_record(ups, n))
+                _stage[0] = "train measured"
                 _log(f"train: {dt * 1e3:.1f} ms/step = {ups:.2f} utt/s/chip "
                      f"(n={n}) — record emitted")
             except Exception as e:  # OOM etc. must not lose the round
@@ -265,16 +310,14 @@ def main() -> None:
         # free the train state before the inference bench
         state = xs = ys = ws = None
 
-    # --- inference: compile (only RPC in flight), then measure ---
-    _log("inference: compiling forward (remote)")
-    job_inf = _CompileJob("inference", lowered_inf)
-    job_inf.start()
-    job_inf.join()
+    # --- inference: measure (executable compiled up front; its first
+    # execute is still a cold one, but the train fields are already
+    # emitted, so a stall here can only cost the inference record) ---
     if job_inf.error is not None:
         raise job_inf.error
     fwd = job_inf.compiled
-    shared["t_infer_compile_s"] = round(job_inf.seconds, 1)
-    _log(f"inference: compiled in {job_inf.seconds:.1f}s; warming + measuring")
+    _stage[0] = "inference warm-up (cold execute)"
+    _log("inference: warming + measuring")
 
     def _infer_record(utt_per_sec: float, n: int, provisional=False) -> dict:
         rec = {
