@@ -267,13 +267,15 @@ def main() -> None:
                  "warming + measuring")
             _stage[0] = "train warm-up (cold execute)"
             try:
-                # warmup — np.asarray is a hard fence (device->host
-                # readback); block_until_ready only acks enqueue on the
-                # axon relay.  A cold execute can stall minutes, so the
-                # FIRST timed step is emitted provisionally the moment it
-                # completes.
-                state, metrics = step(state, xs, ys, ws)
-                np.asarray(metrics["loss"])
+                # NO separate warm-up: the FIRST step is itself timed and
+                # emitted provisionally the moment it completes (np.asarray
+                # is a hard fence; block_until_ready only acks enqueue on
+                # the axon relay).  A cold execute can stall for minutes —
+                # with a separate warm-up, a slow-but-completing cold
+                # execute emitted NOTHING before the deadline (round-5
+                # validation); timing it instead gives a pessimistic
+                # provisional number (cold-dispatch included, marked in the
+                # unit string) that the n-iter record supersedes.
                 micro_bs, accum = xs.shape[1], xs.shape[0]
                 t0 = time.perf_counter()
                 state, metrics = step(state, xs, ys, ws)
@@ -285,8 +287,10 @@ def main() -> None:
                     ups1 / REFERENCE_TRAIN_UTT_PER_SEC, 3
                 )
                 shared["train_ms_per_step"] = round(dt1 * 1e3, 1)
-                _emit(_train_record(ups1, 1, provisional=True))
-                _log(f"train: provisional {ups1:.2f} utt/s (1 iter)")
+                rec1 = _train_record(ups1, 1, provisional=True)
+                rec1["unit"] += " incl. cold-execute dispatch"
+                _emit(rec1)
+                _log(f"train: provisional {ups1:.2f} utt/s (1 cold iter)")
 
                 n = 8 if _remaining() > 120 else 3
                 t0 = time.perf_counter()
