@@ -335,13 +335,17 @@ def main() -> None:
             rec["provisional"] = True
         return rec
 
-    np.asarray(fwd(variables, x))  # warmup (cold execute can stall)
-    _log("inference: warm; measuring")
+    # first execute is timed and provisional (cold-dispatch included) —
+    # same rationale as the train side: a slow-but-completing cold execute
+    # should yield a record, not nothing
     t0 = time.perf_counter()
-    np.asarray(fwd(variables, x))  # one fenced iter -> provisional record
+    np.asarray(fwd(variables, x))
     dt1 = time.perf_counter() - t0
-    _emit(_infer_record(batch / dt1, 1, provisional=True))
-    _log(f"inference: provisional {batch / dt1:.2f} utt/s (1 iter)")
+    rec1 = _infer_record(batch / dt1, 1, provisional=True)
+    rec1["unit"] += " incl. cold-execute dispatch"
+    _emit(rec1)
+    _log(f"inference: provisional {batch / dt1:.2f} utt/s (1 cold iter)")
+    _stage[0] = "inference measuring"
 
     n_iters = 20
     t0 = time.perf_counter()
