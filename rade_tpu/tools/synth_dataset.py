@@ -62,14 +62,18 @@ def _spoof(rng: np.random.RandomState, n: int) -> np.ndarray:
 #      attack, like real TTS/VC systems share vocoder artifact families;
 #   3. bonafide nuisance at FIXED shallow depths, decoupled from the spoof
 #      coefficients (v1/v2 scaled both together — a calibration treadmill).
-# Proxy EER: easy 0.0%, v2 (disk) 34%, v3-draft 7-10%, v4 (these
-# coefficients: floors 0.5/0.6, shared floor 0.4/0.45, deeper vibrato) 5.0-5.5%
-# across seeds.  The flagship's offset above the proxy GROWS as the task gets
-# harder (v2: proxy 34 -> flagship 42; v3-draft at proxy 8 tracked toward
-# ~28-30% at 30 epochs, run LA_Phase6_AnchorHard_ep30_bs16_v3), because a
-# random-init WavLM under heavy augmentation is optimization-limited at
-# ~62 steps/epoch — hence both the v4 deepening AND the 60-epoch Long
-# anchor protocol (configs/Phase6_AnchorHardLong*.conf).
+# Proxy EER: easy 0.0%, v2 (disk) 34%, v3-draft 7-10%, v4 5.0-5.5%, v5
+# (these coefficients: the shared floor moved into the modulation+tonal
+# family) 2.7% across seeds.  The clean-feature proxy and the AUGMENTED
+# flagship learn DIFFERENT cue families (v3 per-attack analysis,
+# docs/BENCH_NOTES.md round 5): RawBoost's SNR-10dB training noise masks
+# hiss/requant/notch cues the proxy finds trivial, while modulation/tonal
+# cues survive augmentation — so v4's deeper hiss+quant shared floor moved
+# the flagship only 2 points (30.5 vs 32.6 at ep30) and v5's AM+hum floor
+# finally calibrated it: 30-epoch flagship run
+# LA_Phase6_AnchorHard5_ep30_bs16_v5 plateaus at 4.5% dev / 8.0% eval EER,
+# and the FGM-off broken-recipe arm separates by 18 points at epoch 5
+# (the committed sensitivity proof).
 
 def _soft_clip(x, s):
     d = 1.0 + 28.0 * s
